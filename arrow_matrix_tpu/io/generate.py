@@ -1,0 +1,113 @@
+"""Synthetic graph/matrix generators (host-side, numpy).
+
+Replaces the reference's igraph fixtures (``igraph.Graph.Barabasi`` /
+``Erdos_Renyi``, reference: tests/test_arrowdecomposition.py:14-22) and its
+random CSR / dense generators (reference: arrow/common/utils.py:63-99).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import sparse
+
+
+def barabasi_albert(
+    n: int, m: int, seed: int | None = None, directed: bool = False
+) -> sparse.csr_matrix:
+    """Barabási–Albert preferential-attachment graph as a CSR adjacency.
+
+    Each new vertex attaches to ``m`` existing vertices sampled by degree
+    (with replacement collapsed to simple edges). Produces the same power-law
+    degree structure as the reference's igraph fixtures
+    (reference: tests/test_arrowdecomposition.py:15-18).
+    """
+    rng = np.random.default_rng(seed)
+    # Repeated-endpoint list for preferential attachment.
+    targets: list[int] = []
+    src: list[int] = []
+    dst: list[int] = []
+    for v in range(1, n):
+        k = min(m, v)
+        pool = np.asarray(targets, dtype=np.int64)
+        if pool.size:
+            picks = np.unique(rng.choice(pool, size=k))
+        else:
+            picks = np.asarray([0], dtype=np.int64)
+        for u in picks:
+            src.append(v)
+            dst.append(int(u))
+            targets.append(int(u))
+        targets.extend([v] * len(picks))
+    rows = np.asarray(src, dtype=np.int64)
+    cols = np.asarray(dst, dtype=np.int64)
+    if not directed:
+        rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
+    A = sparse.csr_matrix(
+        (np.ones(rows.size, dtype=np.float32), (rows, cols)), shape=(n, n)
+    )
+    A.data[:] = 1.0
+    A.sum_duplicates()
+    A.sort_indices()
+    return A
+
+
+def erdos_renyi(n: int, p: float, seed: int | None = None) -> sparse.csr_matrix:
+    """G(n, p) undirected simple graph as CSR adjacency
+    (reference fixture: tests/test_arrowdecomposition.py:17)."""
+    rng = np.random.default_rng(seed)
+    # Sample the upper triangle.
+    mask = rng.random((n, n)) < p
+    mask = np.triu(mask, k=1)
+    rows, cols = np.nonzero(mask)
+    rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
+    A = sparse.csr_matrix(
+        (np.ones(rows.size, dtype=np.float32), (rows, cols)), shape=(n, n)
+    )
+    A.sort_indices()
+    return A
+
+
+def random_csr(
+    n_rows: int,
+    n_cols: int,
+    nnz_per_row: int,
+    seed: int | None = None,
+    dtype=np.float32,
+) -> sparse.csr_matrix:
+    """Random CSR with a fixed nonzero count per row
+    (reference: arrow/common/utils.py:63-87)."""
+    rng = np.random.default_rng(seed)
+    cols = rng.integers(0, n_cols, size=(n_rows, nnz_per_row))
+    rows = np.repeat(np.arange(n_rows), nnz_per_row)
+    data = rng.uniform(-1.0, 1.0, size=rows.size).astype(dtype)
+    A = sparse.csr_matrix((data, (rows, cols.ravel())), shape=(n_rows, n_cols))
+    A.sum_duplicates()
+    A.sort_indices()
+    return A
+
+
+def random_dense(
+    n_rows: int, n_cols: int, seed: int | None = None, dtype=np.float32
+) -> np.ndarray:
+    """Random dense matrix in [-1, 1) (reference: arrow/common/utils.py:90-99)."""
+    rng = np.random.default_rng(seed)
+    return (2.0 * rng.random((n_rows, n_cols)) - 1.0).astype(dtype)
+
+
+def structured_arrow_matrix(
+    n: int, width: int, seed: int | None = None, density: float = 0.3
+) -> sparse.csr_matrix:
+    """Dense-ish structured arrow fixture: random head row/column panels plus
+    a diagonal, with some deliberately zeroed rows/columns to exercise
+    compaction paths (reference: tests/test_arrowmpi.py:407-421)."""
+    rng = np.random.default_rng(seed)
+    A = np.zeros((n, n), dtype=np.float32)
+    head = (rng.random((width, n)) < density) * rng.random((width, n))
+    A[:width, :] = head
+    A[:, :width] = (rng.random((n, width)) < density) * rng.random((n, width))
+    A[np.arange(n), np.arange(n)] = rng.random(n)
+    # Zero a few rows/columns entirely.
+    kill = rng.choice(n, size=max(1, n // 16), replace=False)
+    A[kill, :] = 0.0
+    A[:, kill] = 0.0
+    return sparse.csr_matrix(A.astype(np.float32))

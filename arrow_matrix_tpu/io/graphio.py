@@ -1,0 +1,374 @@
+"""Decomposition I/O: on-disk formats, path scheme, and block splitting.
+
+Format parity with the reference (reference: arrow/common/graphio.py) so that
+decompositions produced by either library are interchangeable on disk:
+
+* path scheme ``{name}_B_{width}_{i}[_bd]{ext}`` (reference: graphio.py:38-70);
+* monolithic ``.npz`` per level (reference: graphio.py:73-128);
+* npy triplet per level — ``*_indptr.npy``, ``*_indices.npy``, ``*_data.npy``
+  plus ``*_permutation.npy`` — with optional data-less (unweighted → ones) and
+  memory-mapped loading (reference: graphio.py:131-314);
+* block splitting that keeps only the arrow-relevant column blocks
+  {0, i-1, i, i+1} per block row and pads the last block to full width
+  (reference: graphio.py:361-446).
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+import pickle
+from typing import Any, List, Optional, Union
+
+import numpy as np
+from scipy import sparse
+
+from arrow_matrix_tpu.decomposition.arrow import ArrowGraph
+
+
+class DecompositionFileType(enum.Enum):
+    npz = 1
+    indptr_npy = 2
+    indices_npy = 3
+    data_npy = 4
+    permutation_npy = 5
+    nonzero_rows_npy = 6
+
+
+_SUFFIX = {
+    DecompositionFileType.npz: ".npz",
+    DecompositionFileType.indptr_npy: "_indptr.npy",
+    DecompositionFileType.indices_npy: "_indices.npy",
+    DecompositionFileType.data_npy: "_data.npy",
+    DecompositionFileType.permutation_npy: "_permutation.npy",
+    DecompositionFileType.nonzero_rows_npy: "_nnzrows.npy",
+}
+
+
+def format_path(
+    base_path: str,
+    width: int,
+    index: Optional[int],
+    block_diagonal: bool,
+    file_type: DecompositionFileType,
+) -> str:
+    """``{base}_B_{width}[_{index}][_bd]{suffix}`` — byte-for-byte the
+    reference's naming scheme (reference: graphio.py:38-70)."""
+    path = f"{base_path}_B_{width}"
+    if index is not None:
+        path += f"_{index}"
+    if block_diagonal:
+        path += "_bd"
+    return path + _SUFFIX[file_type]
+
+
+def decomposition_size(filename: str, width: int, block_diagonal: bool) -> int:
+    """Number of levels present on disk, probed via permutation files
+    (reference: graphio.py:120-128)."""
+    i = 0
+    while os.path.exists(
+        format_path(
+            filename, width, i, block_diagonal, DecompositionFileType.permutation_npy
+        )
+    ):
+        i += 1
+    return i
+
+
+def save_decomposition(
+    A: Optional[sparse.csr_matrix],
+    decomposition: List[ArrowGraph],
+    filename: str,
+    dtype=np.float32,
+    block_diagonal: bool = True,
+    save_input: bool = True,
+) -> None:
+    """Monolithic ``.npz`` per level + ``_permutation.npy``
+    (reference: graphio.py:73-117)."""
+    if save_input and A is not None:
+        with open(f"{filename}_graph.pickle", "wb") as f:
+            pickle.dump(A, f)
+        sparse.save_npz(f"{filename}_A.npz", sparse.csr_matrix(A, dtype=dtype))
+
+    width = 0
+    for i, ag in enumerate(decomposition):
+        B = sparse.csr_matrix(ag.matrix, dtype=dtype)
+        width = ag.arrow_width
+        sparse.save_npz(
+            format_path(
+                filename, ag.arrow_width, i, block_diagonal, DecompositionFileType.npz
+            ),
+            B,
+        )
+        np.save(
+            format_path(
+                filename,
+                ag.arrow_width,
+                i,
+                block_diagonal,
+                DecompositionFileType.permutation_npy,
+            ),
+            np.asarray(ag.permutation),
+        )
+
+    nonzero_rows = np.asarray([ag.nonzero_rows for ag in decomposition], dtype=np.int64)
+    np.save(
+        format_path(
+            filename, width, 0, block_diagonal, DecompositionFileType.nonzero_rows_npy
+        ),
+        nonzero_rows,
+    )
+
+
+def save_decomposition_new(
+    A: Optional[sparse.csr_matrix],
+    decomposition: List[ArrowGraph],
+    filename: str,
+    dtype=np.float32,
+    block_diagonal: bool = True,
+    save_input: bool = False,
+) -> None:
+    """npy-triplet format per level (reference: graphio.py:131-191)."""
+    if save_input and A is not None:
+        A = sparse.csr_matrix(A, dtype=dtype)
+        np.save(f"{filename}_A_indptr.npy", A.indptr)
+        np.save(f"{filename}_A_indices.npy", A.indices)
+        np.save(f"{filename}_A_data.npy", A.data)
+
+    first_width = 0
+    for i, ag in enumerate(decomposition):
+        B = sparse.csr_matrix(ag.matrix, dtype=dtype)
+        w = ag.arrow_width
+        np.save(
+            format_path(filename, w, i, block_diagonal, DecompositionFileType.indptr_npy),
+            B.indptr,
+        )
+        np.save(
+            format_path(
+                filename, w, i, block_diagonal, DecompositionFileType.indices_npy
+            ),
+            B.indices,
+        )
+        np.save(
+            format_path(filename, w, i, block_diagonal, DecompositionFileType.data_npy),
+            B.data,
+        )
+        np.save(
+            format_path(
+                filename, w, i, block_diagonal, DecompositionFileType.permutation_npy
+            ),
+            np.asarray(ag.permutation),
+        )
+        if i == 0:
+            first_width = w
+
+    nonzero_rows = np.asarray([ag.nonzero_rows for ag in decomposition], dtype=np.int64)
+    np.save(
+        format_path(
+            filename,
+            first_width,
+            0,
+            block_diagonal,
+            DecompositionFileType.nonzero_rows_npy,
+        ),
+        nonzero_rows,
+    )
+
+
+def load_decomposition(
+    filename: str,
+    width: Optional[int] = None,
+    block_diagonal: bool = True,
+    no_permutation: bool = False,
+) -> List[tuple]:
+    """Load the monolithic-``.npz`` format (reference: graphio.py:194-248).
+
+    :return: list of (csr_matrix, permutation-or-None) per level.
+    """
+    decomposition = []
+    for i in range(decomposition_size(filename, width, block_diagonal)):
+        B = sparse.load_npz(
+            format_path(filename, width, i, block_diagonal, DecompositionFileType.npz)
+        )
+        permutation = None
+        if not no_permutation:
+            permutation = np.load(
+                format_path(
+                    filename,
+                    width,
+                    i,
+                    block_diagonal,
+                    DecompositionFileType.permutation_npy,
+                )
+            )
+        decomposition.append((B, permutation))
+    return decomposition
+
+
+def load_decomposition_new(
+    filename: str,
+    width: Optional[int] = None,
+    block_diagonal: bool = True,
+    no_permutation: bool = False,
+    mem_map: bool = False,
+) -> List[tuple]:
+    """Load the npy-triplet format; a missing ``_data.npy`` means an
+    unweighted matrix (ones). With ``mem_map`` the CSR arrays are returned as
+    a ``(data, indices, indptr)`` tuple of memory-mapped arrays instead of a
+    materialized csr_matrix (reference: graphio.py:251-314).
+    """
+
+    def _load(path):
+        return np.lib.format.open_memmap(path, mode="r") if mem_map else np.load(path)
+
+    decomposition = []
+    i = 0
+    while True:
+        try:
+            indptr = _load(
+                format_path(
+                    filename, width, i, block_diagonal, DecompositionFileType.indptr_npy
+                )
+            )
+            indices = _load(
+                format_path(
+                    filename,
+                    width,
+                    i,
+                    block_diagonal,
+                    DecompositionFileType.indices_npy,
+                )
+            )
+            data_path = format_path(
+                filename, width, i, block_diagonal, DecompositionFileType.data_npy
+            )
+            if os.path.exists(data_path):
+                data = _load(data_path)
+            else:
+                data = np.ones(indices.size, dtype=np.float32)
+            n = indptr.size - 1
+            B: Any = (
+                (data, indices, indptr)
+                if mem_map
+                else sparse.csr_matrix((data, indices, indptr), shape=(n, n))
+            )
+            permutation = None
+            if not no_permutation:
+                permutation = np.load(
+                    format_path(
+                        filename,
+                        width,
+                        i,
+                        block_diagonal,
+                        DecompositionFileType.permutation_npy,
+                    )
+                )
+        except FileNotFoundError:
+            break
+        decomposition.append((B, permutation))
+        i += 1
+    return decomposition
+
+
+def split_matrix_to_blocks(
+    A: sparse.csr_matrix,
+    block_size: int,
+    dtype=None,
+    use_min_shape: bool = False,
+) -> List[List[Union[sparse.csr_matrix, None]]]:
+    """Split a square arrow matrix into ``block_size``-sized blocks, keeping
+    per block-row i only columns {0, i-1, i, i+1} (the arrow-relevant blocks)
+    and padding ragged trailing blocks to full ``block_size``
+    (reference: graphio.py:361-406)."""
+    rows, cols = A.shape
+    dtype = dtype or A.dtype
+    n_block_rows = int(np.ceil(rows / block_size))
+    n_block_cols = int(np.ceil(cols / block_size))
+    blocks: List[List[Union[sparse.csr_matrix, None]]] = [
+        [None] * n_block_cols for _ in range(n_block_rows)
+    ]
+    for i in range(n_block_rows):
+        wanted = {0, i - 1, i, i + 1} if i > 0 else set(range(n_block_cols))
+        for j in range(n_block_cols):
+            if j not in wanted:
+                continue
+            sl = A[
+                i * block_size : min(rows, (i + 1) * block_size),
+                j * block_size : min(cols, (j + 1) * block_size),
+            ].tocsr()
+            pad_rows = block_size - sl.shape[0]
+            pad_cols = block_size - sl.shape[1]
+            if use_min_shape or (pad_rows == 0 and pad_cols == 0):
+                block = sparse.csr_matrix(sl, dtype=dtype)
+            else:
+                indptr = np.pad(sl.indptr, (0, pad_rows), mode="edge")
+                block = sparse.csr_matrix(
+                    (sl.data, sl.indices, indptr),
+                    shape=(block_size, block_size),
+                    dtype=dtype,
+                )
+            block.sum_duplicates()
+            block.sort_indices()
+            blocks[i][j] = block
+    return blocks
+
+
+def split_matrix_to_block_slices(
+    A_triplet: tuple, block_size: int
+) -> List[List[Union[tuple, None]]]:
+    """Lazy variant for memory-mapped matrices: returns (row_slice, col_slice)
+    descriptors instead of materialized blocks
+    (reference: graphio.py:409-446)."""
+    indptr = A_triplet[2]
+    rows = cols = indptr.size - 1
+    n_block_rows = int(np.ceil(rows / block_size))
+    n_block_cols = int(np.ceil(cols / block_size))
+    blocks: List[List[Union[tuple, None]]] = [
+        [None] * n_block_cols for _ in range(n_block_rows)
+    ]
+    for i in range(n_block_rows):
+        wanted = {0, i - 1, i, i + 1} if i > 0 else set(range(n_block_cols))
+        for j in range(n_block_cols):
+            if j not in wanted:
+                continue
+            blocks[i][j] = (
+                slice(i * block_size, min(rows, (i + 1) * block_size)),
+                slice(j * block_size, min(cols, (j + 1) * block_size)),
+            )
+    return blocks
+
+
+def load_block_from_slice(
+    A_triplet: tuple, bslice: tuple, block_size: int, dtype=None
+) -> Optional[sparse.csr_matrix]:
+    """Materialize one block from a memory-mapped CSR triplet
+    (reference: graphio.py:449-495)."""
+    if bslice is None:
+        return None
+    data_mm, indices_mm, indptr_mm = A_triplet
+    row_slice, col_slice = bslice
+    num_rows = row_slice.stop - row_slice.start
+    indptr = np.empty(num_rows + 1, dtype=np.int64)
+    indptr[:-1] = indptr_mm[row_slice]
+    indptr[-1] = indptr_mm[row_slice.stop]
+    lo, hi = int(indptr[0]), int(indptr[-1])
+    indices = np.asarray(indices_mm[lo:hi])
+    data = np.asarray(data_mm[lo:hi])
+    indptr -= lo
+    row_block = sparse.csr_matrix(
+        (data, indices, indptr), shape=(num_rows, indptr_mm.size - 1)
+    )
+    block = row_block[:, col_slice].tocsr()
+    pad_rows = block_size - block.shape[0]
+    if pad_rows > 0:
+        indptr2 = np.pad(block.indptr, (0, pad_rows), mode="edge")
+        block = sparse.csr_matrix(
+            (block.data, block.indices, indptr2),
+            shape=(block_size, block_size),
+            dtype=dtype,
+        )
+    else:
+        block = sparse.csr_matrix(block, dtype=dtype)
+    block.sum_duplicates()
+    block.sort_indices()
+    return block
