@@ -1,0 +1,223 @@
+"""Distributed iterated arrow SpMM over a device mesh.
+
+This is the TPU-native re-design of the reference's whole MPI runtime stack —
+``ArrowDecompositionMPI.step`` (reference: arrow/arrow_dec_mpi.py:283-307),
+``ArrowSlimMPI._arrow_spmm`` (reference: arrow/arrow_slim_mpi.py:78-156,
+246-280) and the banded halo path of ``ArrowMPI`` (reference:
+arrow/arrow_mpi.py:123-223) — as ONE jit-compiled function over a
+``jax.sharding.Mesh`` with a single "block" axis:
+
+* MPI ``Bcast(X_0)`` + ``Reduce(C_0)`` (reference: arrow_slim_mpi.py:273,116)
+  fuse into a single ``lax.psum`` of the stacked pair [X_0-masked, A_0j X_j]:
+  one collective delivers both the head features and the reduced head result
+  to every device;
+* the banded ±1 halo Isend/Irecv ring (reference: arrow_mpi.py:123-175)
+  becomes two ``lax.ppermute`` shifts;
+* the inter-level ragged ``Ialltoallv`` feature propagation / aggregation
+  (reference: arrow_dec_mpi.py:404-610) becomes static-shape
+  ``lax.all_to_all`` driven by precomputed :class:`RouteTables`;
+* the MPI overlap of communication with compute (nonblocking requests) falls
+  out automatically: all levels live in one XLA program, their collectives
+  are independent until the final accumulation, and the scheduler overlaps
+  them with the ELL kernels.
+
+Iteration semantics match the reference exactly: after ``step``, the features
+in level-0 permuted order have been replaced by ``A @ X`` (reference
+postconditions, arrow_dec_mpi.py:283-292).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from arrow_matrix_tpu.ops.ell import ell_spmm
+from arrow_matrix_tpu.ops.formats import EllMat
+from arrow_matrix_tpu.plan.compile import ArrowPlan, LevelPlan
+from arrow_matrix_tpu.plan.routing import RouteTables
+
+AXIS = "block"
+
+
+def block_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the block axis."""
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _shard_spec(pytree):
+    """Shard every array leaf along its leading (device-stacked) axis."""
+    return jax.tree.map(
+        lambda a: P(AXIS, *([None] * (a.ndim - 1))), pytree
+    )
+
+
+def _local(m: EllMat) -> EllMat:
+    """Strip the per-device leading axis of size 1 inside shard_map."""
+    return m.replace(idx=m.idx[0], val=m.val[0], combine=m.combine[0])
+
+
+def _route_local(rt: RouteTables) -> RouteTables:
+    return rt.replace(
+        send_idx=rt.send_idx[0], recv_idx=rt.recv_idx[0], local_map=rt.local_map[0]
+    )
+
+
+def _zero_pad_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Append one zero row: index ``width`` becomes a safe gather target for
+    padding slots in the routing tables."""
+    return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
+
+
+def _level_spmm(lvl: LevelPlan, x: jnp.ndarray, width: int) -> jnp.ndarray:
+    """One arrow matrix SpMM; x is this device's (width, k) feature block in
+    the level's permuted order; returns this device's (width, k) result block.
+
+    Block 0's result is the reduced head-row product sum_j A_0j X_j; block
+    j>0's is A_jj X_j + A_j0 X_0 (+ banded neighbor terms)
+    (reference: arrow/arrow_slim_mpi.py:78-156, arrow/arrow_mpi.py:177-299).
+    """
+    j = lax.axis_index(AXIS)
+
+    head_partial = ell_spmm(_local(lvl.head), x)  # A_0j @ X_j
+
+    # Fused Bcast(X_0) + Reduce(C_0): one psum carries both.
+    x0_masked = jnp.where(j == 0, x, jnp.zeros_like(x))
+    packed = lax.psum(jnp.concatenate([x0_masked, head_partial], axis=0), AXIS)
+    x_0, c_0 = packed[:width], packed[width:]
+
+    c_j = ell_spmm(_local(lvl.diag), x) + ell_spmm(_local(lvl.col), x_0)
+
+    if lvl.band_lo is not None:
+        q = lax.axis_size(AXIS)
+        fwd = [(d, d + 1) for d in range(q - 1)]  # x_{j-1} arrives at j
+        bwd = [(d + 1, d) for d in range(q - 1)]  # x_{j+1} arrives at j
+        x_lo = lax.ppermute(x, AXIS, fwd)
+        x_hi = lax.ppermute(x, AXIS, bwd)
+        c_j = c_j + ell_spmm(_local(lvl.band_lo), x_lo)
+        c_j = c_j + ell_spmm(_local(lvl.band_hi), x_hi)
+
+    return jnp.where(j == 0, c_0, c_j)
+
+
+def _route_forward(rt: RouteTables, x: jnp.ndarray) -> jnp.ndarray:
+    """Re-shard features from level-0 order into a level's order
+    (reference: arrow_dec_mpi.py:507-610 ``_propagate_features_forwards``)."""
+    width = rt.width
+    xp = _zero_pad_rows(x)  # (w+1, k)
+    send = jnp.take(xp, rt.send_idx, axis=0)  # (q, M, k)
+    recv = lax.all_to_all(send, AXIS, 0, 0)  # recv[s] = from device s
+    out = jnp.take(xp, rt.local_map, axis=0)  # locally-sourced rows (w, k)
+    buf = _zero_pad_rows(out)
+    k = x.shape[1]
+    buf = buf.at[rt.recv_idx.reshape(-1)].set(
+        recv.reshape(-1, k), mode="promise_in_bounds"
+    )
+    return buf[:width]
+
+
+def _route_backward_add(
+    rt: RouteTables, c_level: jnp.ndarray, c_accum: jnp.ndarray
+) -> jnp.ndarray:
+    """Aggregate a level's partial result back into level-0 order:
+    ``C_0 += route^{-1}(C_i)`` (reference: arrow_dec_mpi.py:404-505
+    ``_aggregate_features_backwards``). The inverse routing reuses the
+    forward tables with send/receive roles swapped."""
+    width = rt.width
+    k = c_level.shape[1]
+    cp = _zero_pad_rows(c_level)
+    send_back = jnp.take(cp, rt.recv_idx, axis=0)  # (q, M, k) to each source
+    recv_back = lax.all_to_all(send_back, AXIS, 0, 0)
+    acc = _zero_pad_rows(c_accum)
+    acc = acc.at[rt.send_idx.reshape(-1)].add(
+        recv_back.reshape(-1, k), mode="promise_in_bounds"
+    )
+    acc = acc.at[rt.local_map].add(cp[:width], mode="promise_in_bounds")
+    return acc[:width]
+
+
+class ArrowSpmm:
+    """Runner for a compiled :class:`ArrowPlan` on a block mesh.
+
+    Usage::
+
+        plan = compile_plan(decomposition, width, n_devices=q)
+        runner = ArrowSpmm(plan, mesh)
+        x = runner.distribute(X)        # (n, k) host -> sharded level-0 order
+        x = runner.step(x)              # X <- A @ X   (jit, one XLA program)
+        C = runner.collect(x)           # sharded -> (n, k) host order
+    """
+
+    def __init__(self, plan: ArrowPlan, mesh: Mesh):
+        assert mesh.shape[AXIS] == plan.n_blocks, (
+            f"plan compiled for {plan.n_blocks} blocks, mesh has {mesh.shape[AXIS]}"
+        )
+        self.plan = plan
+        self.mesh = mesh
+        self._plan_specs = _shard_spec(plan)
+        self._x_spec = P(AXIS, None)
+        # Place the plan once; it stays in HBM across iterations (unlike the
+        # reference's per-call host->GPU staging, arrow_mpi.py:246-270).
+        self.device_plan = jax.device_put(
+            plan, jax.tree.map(lambda s: NamedSharding(mesh, s), self._plan_specs)
+        )
+        self._step = jax.jit(self._make_step())
+
+    def _make_step(self):
+        plan_specs = self._plan_specs
+        x_spec = self._x_spec
+        width = self.plan.width
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(plan_specs, x_spec),
+            out_specs=x_spec,
+        )
+        def step_body(plan: ArrowPlan, x):
+            c = _level_spmm(plan.levels[0], x, width)
+            for lvl in plan.levels[1:]:
+                rt = _route_local(lvl.route)
+                x_i = _route_forward(rt, x)
+                c_i = _level_spmm(lvl, x_i, width)
+                c = _route_backward_add(rt, c_i, c)
+            return c
+
+        return step_body
+
+    def step(self, x_sharded):
+        """One iteration ``X <- A X`` on level-0-ordered sharded features."""
+        return self._step(self.device_plan, x_sharded)
+
+    def run(self, x_sharded, iterations: int):
+        for _ in range(iterations):
+            x_sharded = self.step(x_sharded)
+        return x_sharded
+
+    # ------------------------------------------------------------------ I/O
+
+    def distribute(self, X: np.ndarray):
+        """Host (n, k) features in original order -> device-sharded features
+        in level-0 permuted order (the reference's root-side scatter,
+        arrow_dec_mpi.py:753-823, as a single device_put)."""
+        n_pad = self.plan.padded_rows
+        Xp = np.zeros((n_pad, X.shape[1]), dtype=np.float32)
+        Xp[: X.shape[0]] = X
+        x0 = Xp[np.asarray(self.plan.permutations[0])]
+        sharding = NamedSharding(self.mesh, self._x_spec)
+        return jax.device_put(jnp.asarray(x0), sharding)
+
+    def collect(self, x_sharded) -> np.ndarray:
+        """Device-sharded level-0-ordered features -> host (n, k) original
+        order (reference: allgather_result, arrow_slim_mpi.py:415-425)."""
+        x0 = np.asarray(jax.device_get(x_sharded))
+        inv = np.argsort(np.asarray(self.plan.permutations[0]))
+        return x0[inv][: self.plan.n_rows]

@@ -1,0 +1,249 @@
+"""Decomposition → static execution plan compiler.
+
+Replaces the reference's runtime scatter of CSR blocks and permutation slices
+over MPI ranks (reference: arrow/arrow_dec_mpi.py:629-887
+``load_decomposition_new`` + per-rank ``load_sparse_matrix_from_blocks``,
+arrow/arrow_slim_mpi.py:298-326) with an ahead-of-time compiler: the ragged,
+rank-by-rank distribution becomes one pytree of uniformly padded, device-axis
+stacked tensors plus routing tables, which a single ``shard_map``-ed step
+function consumes. Everything dynamic in the reference (block counts, ragged
+all-to-all counts, nnz column lists) is static here — fixed by the
+decomposition — which is exactly what XLA's compilation model wants.
+
+Level folding: the reference assigns disjoint rank groups to each level of
+the decomposition (sum_i q_i ranks, reference: arrow_dec_mpi.py:131-160),
+leaving every group idle while other levels communicate. Here ALL levels are
+folded onto one block axis of q = n_blocks[0] devices: device j holds block j
+of every level, levels execute within one jit step, and XLA overlaps their
+independent collectives. Per-device communication stays O(width · k) per
+level, matching the reference's headline bound (reference: README.md:3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from scipy import sparse
+
+import jax.numpy as jnp
+from flax import struct
+
+from arrow_matrix_tpu.ops.formats import EllMat, ell_from_csr, stack_ells
+from arrow_matrix_tpu.plan.routing import RouteTables, build_route_tables
+
+
+@struct.dataclass
+class LevelPlan:
+    """Per-level, device-stacked arrow blocks (slim layout: device j holds the
+    head-row panel block A_0j, the diagonal block A_jj and the head-column
+    panel block A_j0, reference: arrow/arrow_slim_mpi.py:298-326; in banded
+    mode additionally the sub/super-diagonal blocks A_j,j∓1, reference:
+    arrow/arrow_mpi.py:438-474)."""
+
+    head: EllMat  # (q, ...) A_0j
+    diag: EllMat  # (q, ...) A_jj (device 0 entry empty)
+    col: EllMat  # (q, ...) A_j0 (device 0 entry empty)
+    band_lo: Optional[EllMat]  # (q, ...) A_j,j-1 for j >= 2, banded mode only
+    band_hi: Optional[EllMat]  # (q, ...) A_j,j+1 for 1 <= j <= q-2
+    route: Optional[RouteTables]  # None for level 0
+    n_active_blocks: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class ArrowPlan:
+    levels: tuple  # tuple[LevelPlan, ...]
+    width: int = struct.field(pytree_node=False)
+    n_blocks: int = struct.field(pytree_node=False)  # q = mesh size
+    n_rows: int = struct.field(pytree_node=False)  # original matrix dimension
+    block_diagonal: bool = struct.field(pytree_node=False)
+    # Padded per-level permutations (data leaves; used host-side for
+    # distribute/collect, tiny on device).
+    permutations: tuple = ()
+
+    @property
+    def padded_rows(self) -> int:
+        return self.width * self.n_blocks
+
+    def nnz(self) -> int:
+        total = 0
+        for lvl in self.levels:
+            for m in (lvl.head, lvl.diag, lvl.col, lvl.band_lo, lvl.band_hi):
+                if m is not None:
+                    total += int((np.asarray(m.val) != 0).sum())
+        return total
+
+
+def _empty_csr(w: int) -> sparse.csr_matrix:
+    return sparse.csr_matrix((w, w), dtype=np.float32)
+
+
+def _csr_block(B: sparse.csr_matrix, w: int, bi: int, bj: int) -> sparse.csr_matrix:
+    blk = B[bi * w : (bi + 1) * w, bj * w : (bj + 1) * w].tocsr()
+    if blk.shape != (w, w):
+        # Pad ragged trailing blocks to full width (reference pads indptr,
+        # graphio.py:389-399).
+        blk = sparse.csr_matrix(
+            (blk.data, blk.indices, np.pad(blk.indptr, (0, w - blk.shape[0]), mode="edge")),
+            shape=(w, w),
+        )
+    blk.sum_duplicates()
+    blk.sort_indices()
+    return blk
+
+
+def number_of_blocks(B: sparse.csr_matrix, width: int) -> int:
+    """Blocks needed to cover the leading nonzero rows/columns of a level
+    (reference: arrow/arrow_dec_mpi.py:612-627 — the reference counts only
+    trailing zero *rows*, assuming symmetry; we count rows and columns so the
+    truncation is always sound)."""
+    out_nnz = np.diff(B.indptr)
+    in_nnz = np.bincount(B.indices, minlength=B.shape[0])
+    nz = np.nonzero(out_nnz + in_nnz)[0]
+    nonzero_rows = int(nz[-1]) + 1 if nz.size else 0
+    return max(1, -(-nonzero_rows // width))
+
+
+def pad_permutation(perm: np.ndarray, n_padded: int) -> np.ndarray:
+    """Extend a permutation of [0, n) to [0, n_padded) with the identity on
+    the padding range (reference: arrow/arrow_dec_mpi.py:703-714)."""
+    perm = np.asarray(perm, dtype=np.int64)
+    if perm.size < n_padded:
+        perm = np.concatenate([perm, np.arange(perm.size, n_padded, dtype=np.int64)])
+    assert perm.size == n_padded
+    return perm
+
+
+def compile_plan(
+    decomposition: Sequence,
+    width: int,
+    n_devices: int,
+    block_diagonal: bool = True,
+    slots_per_row: int | None = None,
+    routing_pad_multiple: int = 8,
+) -> ArrowPlan:
+    """Compile a decomposition into an :class:`ArrowPlan` for a mesh with
+    ``n_devices`` devices on the block axis.
+
+    :param decomposition: list of (csr_matrix, permutation) or ArrowGraph.
+    :param width: arrow width used for the decomposition (block size).
+    :param n_devices: devices on the block axis; must cover level 0's blocks.
+    :raises ValueError: if a level's nonzeros fall outside the arrow block
+        structure (head panels + diagonal ± band) or need more blocks than
+        devices.
+    """
+    mats = [sparse.csr_matrix(d[0], dtype=np.float32) for d in decomposition]
+    perms = [np.asarray(d[1], dtype=np.int64) for d in decomposition]
+    n = mats[0].shape[0]
+    q = n_devices
+    n_pad = q * width
+
+    if n > n_pad:
+        raise ValueError(
+            f"matrix has {n} rows; {q} devices x width {width} covers only {n_pad}"
+        )
+
+    padded_perms = []
+    for p in perms:
+        if p.min(initial=np.iinfo(np.int64).max) > 0 and p.size and p.min() == 1:
+            p = p - 1  # tolerate 1-based permutations (reference: arrow_dec_mpi.py:701-709)
+        padded_perms.append(pad_permutation(p, n_pad))
+    inv_perm0 = np.argsort(padded_perms[0])
+
+    levels = []
+    for i, B in enumerate(mats):
+        if B.shape[0] != n:
+            raise ValueError("all levels must share the vertex count")
+        if B.shape[0] < n_pad:
+            B = sparse.csr_matrix(
+                (B.data, B.indices, np.pad(B.indptr, (0, n_pad - B.shape[0]), mode="edge")),
+                shape=(n_pad, n_pad),
+            )
+        q_i = min(number_of_blocks(B, width), q)
+
+        head_blocks, diag_blocks, col_blocks = [], [], []
+        lo_blocks, hi_blocks = [], []
+        covered = 0
+        for j in range(q):
+            if j >= q_i:
+                head_blocks.append(_empty_csr(width))
+                diag_blocks.append(_empty_csr(width))
+                col_blocks.append(_empty_csr(width))
+                lo_blocks.append(_empty_csr(width))
+                hi_blocks.append(_empty_csr(width))
+                continue
+            hb = _csr_block(B, width, 0, j)
+            head_blocks.append(hb)
+            covered += hb.nnz
+            if j == 0:
+                diag_blocks.append(_empty_csr(width))
+                col_blocks.append(_empty_csr(width))
+                lo_blocks.append(_empty_csr(width))
+                hi_blocks.append(_empty_csr(width))
+                continue
+            db = _csr_block(B, width, j, j)
+            cb = _csr_block(B, width, j, 0)
+            diag_blocks.append(db)
+            col_blocks.append(cb)
+            covered += db.nnz + cb.nnz
+            if not block_diagonal:
+                lb = _csr_block(B, width, j, j - 1) if j >= 2 else _empty_csr(width)
+                ub = (
+                    _csr_block(B, width, j, j + 1)
+                    if j < q_i - 1
+                    else _empty_csr(width)
+                )
+                lo_blocks.append(lb)
+                hi_blocks.append(ub)
+                covered += lb.nnz + ub.nnz
+            else:
+                lo_blocks.append(_empty_csr(width))
+                hi_blocks.append(_empty_csr(width))
+
+        if covered != B.nnz:
+            raise ValueError(
+                f"level {i}: {B.nnz - covered} nonzeros outside the arrow "
+                f"block structure (width {width}, block_diagonal={block_diagonal}); "
+                "re-decompose with a larger width or more levels"
+            )
+
+        route = None
+        if i > 0:
+            dst_to_src = inv_perm0[padded_perms[i]]
+            route = build_route_tables(
+                dst_to_src,
+                width,
+                q,
+                cut=q_i * width,
+                pad_multiple=routing_pad_multiple,
+            )
+
+        banded = not block_diagonal
+        levels.append(
+            LevelPlan(
+                head=stack_ells([ell_from_csr(b, slots_per_row) for b in head_blocks]),
+                diag=stack_ells([ell_from_csr(b, slots_per_row) for b in diag_blocks]),
+                col=stack_ells([ell_from_csr(b, slots_per_row) for b in col_blocks]),
+                band_lo=(
+                    stack_ells([ell_from_csr(b, slots_per_row) for b in lo_blocks])
+                    if banded
+                    else None
+                ),
+                band_hi=(
+                    stack_ells([ell_from_csr(b, slots_per_row) for b in hi_blocks])
+                    if banded
+                    else None
+                ),
+                route=route,
+                n_active_blocks=q_i,
+            )
+        )
+
+    return ArrowPlan(
+        levels=tuple(levels),
+        width=width,
+        n_blocks=q,
+        n_rows=n,
+        block_diagonal=block_diagonal,
+        permutations=tuple(jnp.asarray(p) for p in padded_perms),
+    )

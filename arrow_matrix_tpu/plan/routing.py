@@ -1,0 +1,128 @@
+"""Static permutation-routing tables between two block-partitioned orders.
+
+The reference computes Alltoallv count/displacement tables plus send/receive
+permutations at initialization time (reference: arrow/arrow_dec_mpi.py:210-281,
+``_all_to_all_tables`` :325-367, ``_aggregation_permutation`` :369-384) and
+issues ragged ``Ialltoallv`` per step. TPUs have no ragged collective, but the
+counts are decomposition-time constants — so we pad every device pair to the
+*static* maximum pairwise count ``M`` and express the whole exchange as one
+fixed-shape ``lax.all_to_all`` plus static gathers/scatters:
+
+* rows whose source and destination block coincide never enter the collective
+  (they are applied by a local gather — the analogue of the reference
+  asserting zero self-counts, reference: arrow_dec_mpi.py:245,273);
+* rows beyond the destination level's nonzero cut are dropped entirely (the
+  reference marks them with an overflow sentinel ``2*width*n_blocks[0]``,
+  reference: arrow_dec_mpi.py:740-749);
+* padding slots point at a sacrificial zero row (index ``width``), so no
+  masking arithmetic is needed at run time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class RouteTables:
+    """Routing of rows from a source order to a destination order, both
+    partitioned into ``q`` blocks of ``width`` rows on the same device axis.
+
+    * ``send_idx``: int32 (q, q, M) — ``send_idx[s, d, m]`` = local row of
+      source device s to put in slot m of its message to destination d
+      (``width`` = padding).
+    * ``recv_idx``: int32 (q, q, M) — ``recv_idx[d, s, m]`` = local row of
+      destination device d written by slot m of the message from source s
+      (``width`` = drop).
+    * ``local_map``: int32 (q, width) — ``local_map[d, r']`` = local source
+      row feeding destination row r' when both live on device d
+      (``width`` = not local / zero-fill).
+
+    The backward (aggregation) direction reuses the same tables with send and
+    receive roles swapped.
+    """
+
+    send_idx: jnp.ndarray
+    recv_idx: jnp.ndarray
+    local_map: jnp.ndarray
+    width: int = struct.field(pytree_node=False)
+    max_per_pair: int = struct.field(pytree_node=False)
+    cut: int = struct.field(pytree_node=False)
+
+    @property
+    def n_blocks(self) -> int:
+        return self.send_idx.shape[-3] if self.send_idx.ndim == 3 else None
+
+
+def build_route_tables(
+    dst_to_src: np.ndarray,
+    width: int,
+    n_blocks: int,
+    cut: int | None = None,
+    pad_multiple: int = 1,
+) -> RouteTables:
+    """Build :class:`RouteTables` from a position mapping.
+
+    :param dst_to_src: int array of length ``n_blocks * width``;
+        ``dst_to_src[p'] = p`` means destination row p' is source row p
+        (e.g. ``g_i = argsort(perm_0)[perm_i]`` maps level-i positions to
+        level-0 positions).
+    :param cut: destination rows >= cut are dropped (level-i truncation to
+        its nonzero blocks). Defaults to no dropping.
+    :param pad_multiple: round the per-pair slot count M up to this multiple.
+    """
+    N = n_blocks * width
+    dst_to_src = np.asarray(dst_to_src, dtype=np.int64)
+    assert dst_to_src.size == N, (dst_to_src.size, N)
+    if cut is None:
+        cut = N
+    p_dst = np.arange(cut, dtype=np.int64)
+    p_src = dst_to_src[:cut]
+    assert (p_src < N).all() and (p_src >= 0).all()
+
+    src_dev, src_row = p_src // width, p_src % width
+    dst_dev, dst_row = p_dst // width, p_dst % width
+
+    local = src_dev == dst_dev
+    local_map = np.full((n_blocks, width), width, dtype=np.int32)
+    local_map[dst_dev[local], dst_row[local]] = src_row[local]
+
+    rs, rd = src_dev[~local], dst_dev[~local]
+    rsrow, rdrow = src_row[~local], dst_row[~local]
+    # Stable order within each (s, d) pair: by destination position, so the
+    # sender's slot m and receiver's slot m refer to the same row.
+    order = np.lexsort((rdrow, rd, rs))
+    rs, rd, rsrow, rdrow = rs[order], rd[order], rsrow[order], rdrow[order]
+
+    pair_id = rs * n_blocks + rd
+    counts = np.bincount(pair_id, minlength=n_blocks * n_blocks)
+    M = int(counts.max()) if counts.size else 0
+    M = max(1, -(-M // pad_multiple) * pad_multiple)
+
+    send_idx = np.full((n_blocks, n_blocks, M), width, dtype=np.int32)
+    recv_idx = np.full((n_blocks, n_blocks, M), width, dtype=np.int32)
+    if rs.size:
+        # Slot index within each pair: position minus the pair's start.
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        slot = np.arange(rs.size, dtype=np.int64) - starts[pair_id]
+        send_idx[rs, rd, slot] = rsrow
+        recv_idx[rd, rs, slot] = rdrow
+
+    return RouteTables(
+        send_idx=jnp.asarray(send_idx),
+        recv_idx=jnp.asarray(recv_idx),
+        local_map=jnp.asarray(local_map),
+        width=width,
+        max_per_pair=M,
+        cut=cut,
+    )
+
+
+def routed_rows_per_pair(rt: RouteTables) -> np.ndarray:
+    """Diagnostics: actual (non-padding) rows per (src, dst) pair — padding
+    efficiency of the static all_to_all."""
+    send = np.asarray(rt.send_idx)
+    return (send != rt.width).sum(axis=-1)

@@ -1,0 +1,170 @@
+"""Distributed arrow SpMM tests on the 8-device virtual CPU mesh — tier (b)
+of the reference test strategy (reference: tests/test_arrowmpi.py): single
+matrix (block-diagonal and banded), hand-built 2-level chains, and full
+end-to-end decomposed graphs, all against scipy goldens."""
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+import jax
+
+from arrow_matrix_tpu.decomposition import arrow_decomposition
+from arrow_matrix_tpu.decomposition.arrow import compute_spmm
+from arrow_matrix_tpu.io.generate import (
+    barabasi_albert,
+    random_dense,
+    structured_arrow_matrix,
+)
+from arrow_matrix_tpu.parallel import ArrowSpmm, block_mesh
+from arrow_matrix_tpu.plan import compile_plan
+
+
+def _run_iterations(A, decomposition, width, n_dev, iters=3, k=16,
+                    block_diagonal=True):
+    mesh = block_mesh(n_dev)
+    plan = compile_plan(
+        decomposition, width, n_dev, block_diagonal=block_diagonal
+    )
+    runner = ArrowSpmm(plan, mesh)
+    n = A.shape[0]
+    X = random_dense(n, k, seed=42)
+    x = runner.distribute(X)
+    ref = X.copy()
+    for _ in range(iters):
+        x = runner.step(x)
+        ref = A @ ref
+    got = runner.collect(x)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    return runner
+
+
+def test_single_arrow_matrix_8_blocks():
+    """One structured arrow matrix over 8 devices (reference: test_spmm,
+    tests/test_arrowmpi.py:342-398)."""
+    width, q = 16, 8
+    n = width * q
+    A = structured_arrow_matrix(n, width, seed=0)
+    # Make it a valid single-level block-diagonal arrow decomposition:
+    # keep head panels + diagonal blocks only.
+    coo = A.tocoo()
+    keep = (
+        (coo.row < width)
+        | (coo.col < width)
+        | ((coo.row // width) == (coo.col // width))
+    )
+    A = sparse.csr_matrix(
+        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=A.shape
+    )
+    decomp = [(A, np.arange(n))]
+    _run_iterations(A, decomp, width, q)
+
+
+def test_single_banded_arrow_matrix():
+    """Banded (non-block-diagonal) mode exercises the ppermute halo path
+    (reference: ArrowMPI banded, arrow/arrow_mpi.py:123-175)."""
+    width, q = 16, 8
+    n = width * q
+    rng = np.random.default_rng(3)
+    dense = np.zeros((n, n), dtype=np.float32)
+    dense[:width, :] = rng.random((width, n)) * (rng.random((width, n)) < 0.2)
+    dense[:, :width] = rng.random((n, width)) * (rng.random((n, width)) < 0.2)
+    for d in range(-width, width + 1):
+        diag = rng.random(n - abs(d)) * (rng.random(n - abs(d)) < 0.1)
+        dense += np.diag(diag, d)
+    A = sparse.csr_matrix(dense)
+    decomp = [(A, np.arange(n))]
+    _run_iterations(A, decomp, width, q, block_diagonal=False)
+
+
+def test_two_level_chain_identity_second_level():
+    """Hand-built 2-level chain: B1 = structured arrow, B2 = identity under a
+    random permutation (reference: test_decomposition,
+    tests/test_arrowmpi.py:96-168)."""
+    width, q = 8, 8
+    n = width * q
+    rng = np.random.default_rng(5)
+    A1 = structured_arrow_matrix(n, width, seed=1)
+    coo = A1.tocoo()
+    keep = (
+        (coo.row < width)
+        | (coo.col < width)
+        | ((coo.row // width) == (coo.col // width))
+    )
+    B1 = sparse.csr_matrix(
+        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=(n, n)
+    )
+    perm2 = rng.permutation(n)
+    B2 = sparse.identity(n, dtype=np.float32, format="csr")
+    # Total operator: A = B1 + P2^T B2 P2 = B1 + I.
+    A = (B1 + sparse.identity(n, dtype=np.float32)).tocsr()
+    decomp = [(B1, np.arange(n)), (B2, perm2)]
+    _run_iterations(A, decomp, width, q)
+
+
+def test_decomposed_graph_end_to_end():
+    """Decompose Barabási graphs and run the full chain vs compute_spmm
+    golden (reference: test_decomposition_on_graph,
+    tests/test_arrowmpi.py:205-309)."""
+    q = 8
+    for n, m_edges, width_c in [(256, 4, 4), (320, 3, 6)]:
+        A = barabasi_albert(n, m_edges, seed=n)
+        width = n // width_c + 1
+        decomp = arrow_decomposition(
+            A, width, max_number_of_levels=100, block_diagonal=True, seed=1
+        )
+        assert all(len(lvl.permutation) == n for lvl in decomp)
+        # Golden check of the decomposition itself first.
+        X = random_dense(n, 16, seed=0)
+        np.testing.assert_allclose(
+            compute_spmm(decomp, X), A @ X, rtol=1e-4, atol=1e-4
+        )
+        _run_iterations(A, decomp, width, q, iters=3)
+
+
+def test_fewer_active_blocks_than_devices():
+    """Levels whose nonzero rows need fewer blocks than devices must be
+    truncated and still correct (zero blocks cut, reference:
+    arrow_dec_mpi.py:728-731)."""
+    q = 8
+    n = 200
+    A = barabasi_albert(n, 4, seed=9)
+    width = 30  # padded rows = 240, level-0 blocks ~ 7, deeper levels fewer
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=True, seed=2
+    )
+    plan = compile_plan(decomp, width, q, block_diagonal=True)
+    assert any(lvl.n_active_blocks < q for lvl in plan.levels)
+    _run_iterations(A, decomp, width, q, iters=2)
+
+
+def test_structure_violation_raises():
+    A = barabasi_albert(64, 4, seed=1)
+    # width too small without decomposition: nonzeros everywhere.
+    with pytest.raises(ValueError, match="outside the arrow block structure"):
+        compile_plan([(A, np.arange(64))], 8, 8, block_diagonal=True)
+
+
+def test_single_device_plan():
+    """q=1 degenerates to a purely local SpMM."""
+    n = 64
+    A = barabasi_albert(n, 4, seed=2)
+    decomp = arrow_decomposition(A, n, max_number_of_levels=1, seed=0)
+    _run_iterations(A, decomp, n, 1, iters=2)
+
+
+@pytest.mark.parametrize("k", [1, 16, 64])
+def test_feature_widths(k):
+    q, width = 4, 16
+    n = q * width
+    A = structured_arrow_matrix(n, width, seed=7)
+    coo = A.tocoo()
+    keep = (
+        (coo.row < width)
+        | (coo.col < width)
+        | ((coo.row // width) == (coo.col // width))
+    )
+    A = sparse.csr_matrix(
+        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=(n, n)
+    )
+    _run_iterations(A, [(A, np.arange(n))], width, q, iters=2, k=k)

@@ -1,0 +1,93 @@
+"""EllMat format + gather SpMM kernel tests vs. scipy goldens."""
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+import jax
+import jax.numpy as jnp
+
+from arrow_matrix_tpu.io.generate import (
+    barabasi_albert,
+    random_csr,
+    structured_arrow_matrix,
+)
+from arrow_matrix_tpu.ops import EllMat, ell_from_csr, ell_spmm, stack_ells
+
+
+def _golden_check(A, k=16, seed=0, slots=None):
+    rng = np.random.default_rng(seed)
+    X = rng.random((A.shape[1], k), dtype=np.float32)
+    m = ell_from_csr(A, slots_per_row=slots)
+    Y = np.asarray(jax.jit(ell_spmm)(m, jnp.asarray(X)))
+    ref = A @ X
+    np.testing.assert_allclose(Y, ref, rtol=1e-5, atol=1e-5)
+    return m
+
+
+def test_random_csr():
+    A = random_csr(100, 80, 5, seed=1)
+    _golden_check(A)
+
+
+def test_power_law_row_split():
+    """Heavy rows must be split into virtual rows and recombined."""
+    A = barabasi_albert(512, 8, seed=3)
+    m = _golden_check(A, slots=8)
+    assert m.needs_combine
+    assert m.combine.shape[1] > 1
+
+
+def test_empty_matrix():
+    A = sparse.csr_matrix((64, 64), dtype=np.float32)
+    _golden_check(A)
+
+
+def test_zero_rows_and_columns():
+    A = structured_arrow_matrix(96, 16, seed=5)
+    _golden_check(A)
+
+
+def test_non_square():
+    A = random_csr(40, 120, 7, seed=9)
+    _golden_check(A)
+
+
+def test_weighted_values():
+    A = random_csr(64, 64, 4, seed=11)
+    A.data = np.random.default_rng(1).uniform(-2, 2, A.nnz).astype(np.float32)
+    _golden_check(A)
+
+
+def test_single_dense_row():
+    """One fully dense row among sparse rows exercises maximal splitting."""
+    A = random_csr(64, 64, 3, seed=13).tolil()
+    A[7, :] = 1.5
+    _golden_check(A.tocsr(), slots=8)
+
+
+@pytest.mark.parametrize("k", [1, 16, 128])
+def test_feature_widths(k):
+    A = random_csr(72, 72, 6, seed=17)
+    _golden_check(A, k=k)
+
+
+def test_stacked_ells_match_members():
+    blocks = [
+        random_csr(32, 32, 3, seed=i) for i in range(4)
+    ] + [sparse.csr_matrix((32, 32), dtype=np.float32)]
+    stacked = stack_ells([ell_from_csr(b) for b in blocks])
+    rng = np.random.default_rng(0)
+    X = rng.random((32, 8), dtype=np.float32)
+
+    def one(idx, val, comb):
+        m = EllMat(
+            idx=idx, val=val, combine=comb,
+            n_rows=stacked.n_rows, n_cols=stacked.n_cols,
+            needs_combine=stacked.needs_combine,
+        )
+        return ell_spmm(m, jnp.asarray(X))
+
+    ys = jax.vmap(one)(stacked.idx, stacked.val, stacked.combine)
+    for b, y in zip(blocks, np.asarray(ys)):
+        np.testing.assert_allclose(y, b @ X, rtol=1e-5, atol=1e-5)
