@@ -22,24 +22,29 @@ def barabasi_albert(
     (reference: tests/test_arrowdecomposition.py:15-18).
     """
     rng = np.random.default_rng(seed)
-    # Repeated-endpoint list for preferential attachment.
-    targets: list[int] = []
-    src: list[int] = []
-    dst: list[int] = []
+    # Repeated-endpoint pool for preferential attachment (each endpoint
+    # appears once per incident edge); preallocated so the per-vertex work is
+    # O(m), not O(degree sum).
+    pool = np.empty(2 * m * n + n, dtype=np.int64)
+    pool_size = 0
+    edge_src = np.empty(m * n, dtype=np.int64)
+    edge_dst = np.empty(m * n, dtype=np.int64)
+    n_edges = 0
     for v in range(1, n):
         k = min(m, v)
-        pool = np.asarray(targets, dtype=np.int64)
-        if pool.size:
-            picks = np.unique(rng.choice(pool, size=k))
+        if pool_size:
+            picks = np.unique(pool[rng.integers(0, pool_size, size=k)])
         else:
-            picks = np.asarray([0], dtype=np.int64)
-        for u in picks:
-            src.append(v)
-            dst.append(int(u))
-            targets.append(int(u))
-        targets.extend([v] * len(picks))
-    rows = np.asarray(src, dtype=np.int64)
-    cols = np.asarray(dst, dtype=np.int64)
+            picks = np.zeros(1, dtype=np.int64)
+        c = picks.size
+        edge_src[n_edges : n_edges + c] = v
+        edge_dst[n_edges : n_edges + c] = picks
+        n_edges += c
+        pool[pool_size : pool_size + c] = picks
+        pool[pool_size + c : pool_size + 2 * c] = v
+        pool_size += 2 * c
+    rows = edge_src[:n_edges]
+    cols = edge_dst[:n_edges]
     if not directed:
         rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
     A = sparse.csr_matrix(

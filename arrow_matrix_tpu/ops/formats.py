@@ -95,10 +95,13 @@ def ell_from_csr(
     nnz_per_row = np.diff(A.indptr).astype(np.int64)
 
     R = slots_per_row or choose_slot_count(nnz_per_row)
-    splits = np.maximum(1, -(-nnz_per_row // R))  # ceil, min 1
+    # Empty rows get NO virtual row (their combine entries point at the
+    # all-zero pad row), so storage scales with nnz, not with the row count.
+    splits = -(-nnz_per_row // R)  # ceil; 0 for empty rows
     base = np.concatenate(([0], np.cumsum(splits)))[:-1]
     V = int(splits.sum())
     G = int(splits.max()) if n_rows else 1
+    G = max(G, 1)
     # Reserve at least one fully-padded virtual row at the end: combine
     # padding targets it, and round V up for sublane alignment.
     V_pad = max(_round_up(V + 1, 8), min_virtual_rows)
@@ -114,20 +117,21 @@ def ell_from_csr(
         idx[vr, slot] = A.indices
         val[vr, slot] = A.data.astype(dtype)
 
-    needs_combine = G > 1
+    # The combine gather can only be skipped when virtual row == real row
+    # exactly, i.e. no row was split AND no row is empty.
+    needs_combine = G > 1 or bool((splits == 0).any())
     combine = np.full((max(n_rows, 1), G), V_pad - 1, dtype=np.int32)
     g_idx = np.arange(G, dtype=np.int64)
     mask = g_idx[None, :] < splits[:, None]
     combine_rows = base[:, None] + g_idx[None, :]
     combine[:n_rows][mask] = combine_rows[mask]
     if not needs_combine:
-        # Identity: real row r == virtual row base[r] (splits all 1).
         combine = combine[:, :1]
 
     return EllMat(
-        idx=jnp.asarray(idx),
-        val=jnp.asarray(val),
-        combine=jnp.asarray(combine),
+        idx=idx,
+        val=val,
+        combine=combine,
         n_rows=n_rows,
         n_cols=n_cols,
         needs_combine=needs_combine,
@@ -151,9 +155,9 @@ def pad_ell(m: EllMat, virtual_rows: int, slots_per_row: int, combine_width: int
     remapped = np.where(comb_old == old_pad_target, virtual_rows - 1, comb_old)
     combine[:, : comb_old.shape[1]] = remapped
     return EllMat(
-        idx=jnp.asarray(idx),
-        val=jnp.asarray(val),
-        combine=jnp.asarray(combine),
+        idx=idx,
+        val=val,
+        combine=combine,
         n_rows=m.n_rows,
         n_cols=m.n_cols,
         needs_combine=combine_width > 1,
@@ -172,9 +176,9 @@ def stack_ells(mats: list[EllMat]) -> EllMat:
     G = max(m.combine.shape[1] for m in mats)
     padded = [pad_ell(m, V, R, G) for m in mats]
     return EllMat(
-        idx=jnp.stack([p.idx for p in padded]),
-        val=jnp.stack([p.val for p in padded]),
-        combine=jnp.stack([p.combine for p in padded]),
+        idx=np.stack([p.idx for p in padded]),
+        val=np.stack([p.val for p in padded]),
+        combine=np.stack([p.combine for p in padded]),
         n_rows=max(m.n_rows for m in mats),
         n_cols=max(m.n_cols for m in mats),
         needs_combine=G > 1,

@@ -245,5 +245,5 @@ def compile_plan(
         n_blocks=q,
         n_rows=n,
         block_diagonal=block_diagonal,
-        permutations=tuple(jnp.asarray(p) for p in padded_perms),
+        permutations=tuple(padded_perms),
     )

@@ -48,6 +48,9 @@ class RouteTables:
     send_idx: jnp.ndarray
     recv_idx: jnp.ndarray
     local_map: jnp.ndarray
+    # Full destination->source position map (padded length n_blocks*width);
+    # used by the single-device runner, unused by the distributed step.
+    dst_to_src: jnp.ndarray
     width: int = struct.field(pytree_node=False)
     max_per_pair: int = struct.field(pytree_node=False)
     cut: int = struct.field(pytree_node=False)
@@ -112,9 +115,10 @@ def build_route_tables(
         recv_idx[rd, rs, slot] = rdrow
 
     return RouteTables(
-        send_idx=jnp.asarray(send_idx),
-        recv_idx=jnp.asarray(recv_idx),
-        local_map=jnp.asarray(local_map),
+        send_idx=send_idx,
+        recv_idx=recv_idx,
+        local_map=local_map,
+        dst_to_src=np.asarray(dst_to_src, dtype=np.int32),
         width=width,
         max_per_pair=M,
         cut=cut,

@@ -1,0 +1,93 @@
+"""Single-chip benchmark: iterated arrow SpMM throughput (nnz/s/chip).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Problem: decompose a Barabási graph (the reference's benchmark generator,
+reference: arrow/arrow_bench.py:28-41), k = 16 dense columns (reference
+default, scripts/spmm_arrow_main.py:14), run the jit-compiled iterated SpMM
+on the available chip, and report effective nonzeros processed per second.
+``vs_baseline`` compares against host scipy CSR @ dense on the same problem
+(the reference's CPU kernel, arrow/arrow_mpi.py:196-219).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--vertices", type=int, default=200_000)
+    p.add_argument("--ba-neighbors", type=int, default=4)
+    p.add_argument("--width", type=int, default=25_000)
+    p.add_argument("--features", type=int, default=16)
+    p.add_argument("--iterations", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--blocks", type=int, default=8)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from arrow_matrix_tpu.decomposition import arrow_decomposition
+    from arrow_matrix_tpu.io.generate import barabasi_albert
+    from arrow_matrix_tpu.parallel.local import local_step
+    from arrow_matrix_tpu.plan import compile_plan
+
+    rng = np.random.default_rng(0)
+    A = barabasi_albert(args.vertices, args.ba_neighbors, seed=1)
+    decomp = arrow_decomposition(
+        A,
+        args.width,
+        max_number_of_levels=100,
+        block_diagonal=True,
+        seed=2,
+    )
+    plan = compile_plan(decomp, args.width, args.blocks)
+    nnz = sum(int(lvl.matrix.nnz) for lvl in decomp)
+
+    x0 = rng.random((plan.padded_rows, args.features), dtype=np.float32)
+    # Place the plan in HBM once; iterations never leave the device (the
+    # reference re-stages host->GPU every call, arrow_mpi.py:246-270).
+    plan = jax.device_put(plan)
+
+    def run(plan, x, iters):
+        return jax.lax.fori_loop(0, iters, lambda i, x: local_step(plan, x), x)
+
+    run = jax.jit(run, static_argnums=2)
+    x = run(plan, jnp.asarray(x0), args.iterations)  # compile + warm
+    jax.block_until_ready(x)
+
+    tic = time.perf_counter()
+    x = run(plan, jnp.asarray(x0), args.iterations)
+    jax.block_until_ready(x)
+    device_time = (time.perf_counter() - tic) / args.iterations
+
+    # Host scipy baseline (reference CPU kernel) on the same iteration.
+    X = x0[: args.vertices]
+    A @ X  # warm caches
+    tic = time.perf_counter()
+    reps = max(1, min(5, args.iterations // 4))
+    for _ in range(reps):
+        X = A @ X
+    scipy_time = (time.perf_counter() - tic) / reps
+
+    value = nnz / device_time
+    vs_baseline = scipy_time / device_time  # >1 == faster than scipy host
+    print(
+        json.dumps(
+            {
+                "metric": "arrow_spmm_nnz_per_s_per_chip",
+                "value": value,
+                "unit": "nnz/s",
+                "vs_baseline": vs_baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
