@@ -1,0 +1,138 @@
+"""1-D row-slice partition with static communication tables.
+
+Capability parity with the reference's ``MatrixSlice`` (reference:
+arrow/matrix_slice.py): each device owns a contiguous row slice of A (and the
+matching rows of X); the columns of its slice that fall outside its own range
+determine which remote X rows it needs. The reference learns send tables via
+``Alltoall`` of counts + ``Alltoallv`` of indices at setup and exchanges
+ragged row sets per iteration (reference: matrix_slice.py:185-273,
+arrow/baseline/spmm_petsc.py:105-144). Here everything is derived host-side
+at plan time:
+
+* per (owner, requester) pair, the owner-local rows to ship, padded to the
+  static pairwise max M — one fixed-shape ``all_to_all`` per iteration;
+* ``A_nonlocal``'s column indices are relabeled AT PLAN TIME to point
+  directly into the flattened receive buffer (slot ``owner * M + m``), so the
+  received rows are consumed in place with zero reshuffling — the reference
+  instead permutes received rows into an X_nonlocal scratch every iteration
+  (reference: spmm_petsc.py:203-213).
+
+Row slices may be unequal, including empty slices (the reference tests both,
+tests/test_spmmPETSc.py:44-71); all slices are padded to the maximum length.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+from scipy import sparse
+
+from flax import struct
+
+from arrow_matrix_tpu.ops.formats import EllMat, ell_from_csr, stack_ells
+
+
+@struct.dataclass
+class MatrixSlicePlan:
+    A_local: EllMat  # (q, ...) own-column blocks, columns = local X rows
+    A_nonlocal: EllMat  # (q, ...) remote columns, relabeled into recv buffer
+    send_idx: np.ndarray  # (q, q, M) owner-local rows per requester, pad=lmax
+    lmax: int = struct.field(pytree_node=False)
+    max_per_pair: int = struct.field(pytree_node=False)
+    n_devices: int = struct.field(pytree_node=False)
+    n_rows: int = struct.field(pytree_node=False)
+    row_starts: tuple = struct.field(pytree_node=False)
+
+
+def partition_rows(n_rows: int, n_devices: int) -> List[int]:
+    """Even partition (last slice ragged) — the reference's default when no
+    hypergraph partition file is given (reference: spmm_petsc.py:424-427)."""
+    per = -(-n_rows // n_devices)
+    counts = [min(per, max(0, n_rows - d * per)) for d in range(n_devices)]
+    return counts
+
+
+def build_slice_plan(
+    A: sparse.csr_matrix,
+    row_counts: Sequence[int] | None = None,
+    n_devices: int | None = None,
+    slots_per_row: int | None = None,
+    pad_multiple: int = 8,
+) -> MatrixSlicePlan:
+    """Build a :class:`MatrixSlicePlan` from a square matrix and a row
+    partition (defaults to an even split over ``n_devices``)."""
+    A = sparse.csr_matrix(A, dtype=np.float32)
+    n = A.shape[0]
+    assert A.shape[1] == n, "1-D slice partition assumes a square matrix"
+    if row_counts is None:
+        assert n_devices is not None
+        row_counts = partition_rows(n, n_devices)
+    q = len(row_counts)
+    assert sum(row_counts) == n, "row counts must cover the matrix"
+    row_starts = np.concatenate(([0], np.cumsum(row_counts))).astype(np.int64)
+    lmax = max(1, max(row_counts))
+
+    # Needed remote rows per device: unique out-of-range nonzero columns
+    # (reference: construct_receive_tables, matrix_slice.py:185-227).
+    needed: List[np.ndarray] = []
+    for d in range(q):
+        sl = A[row_starts[d] : row_starts[d + 1]]
+        cols = np.unique(sl.tocoo().col)
+        outside = cols[(cols < row_starts[d]) | (cols >= row_starts[d + 1])]
+        needed.append(outside)
+
+    counts = np.zeros((q, q), dtype=np.int64)  # [owner, requester]
+    owner_of = lambda g: np.searchsorted(row_starts, g, side="right") - 1
+    needed_owner = [owner_of(nd) for nd in needed]
+    for d in range(q):
+        o, cnt = np.unique(needed_owner[d], return_counts=True)
+        counts[o, d] = cnt
+    M = int(counts.max()) if counts.size else 0
+    M = max(1, -(-M // pad_multiple) * pad_multiple)
+
+    send_idx = np.full((q, q, M), lmax, dtype=np.int32)
+    # Map each needed global row of requester d to its recv-buffer slot.
+    recv_slot: List[dict] = [dict() for _ in range(q)]
+    for d in range(q):
+        owners = needed_owner[d]
+        rows = needed[d]
+        # Needed rows are sorted; group by owner preserving order.
+        for o in np.unique(owners):
+            sel = rows[owners == o]
+            send_idx[o, d, : sel.size] = (sel - row_starts[o]).astype(np.int32)
+            for m, g in enumerate(sel):
+                recv_slot[d][int(g)] = int(o) * M + m
+
+    local_blocks, nonlocal_blocks = [], []
+    for d in range(q):
+        sl = A[row_starts[d] : row_starts[d + 1]].tocoo()
+        in_range = (sl.col >= row_starts[d]) & (sl.col < row_starts[d + 1])
+        loc = sparse.csr_matrix(
+            (
+                sl.data[in_range],
+                (sl.row[in_range], sl.col[in_range] - row_starts[d]),
+            ),
+            shape=(lmax, lmax),
+        )
+        slot_map = recv_slot[d]
+        far_cols = np.asarray(
+            [slot_map[int(g)] for g in sl.col[~in_range]], dtype=np.int64
+        )
+        far = sparse.csr_matrix(
+            (sl.data[~in_range], (sl.row[~in_range], far_cols)),
+            shape=(lmax, q * M),
+        )
+        local_blocks.append(ell_from_csr(loc, slots_per_row))
+        nonlocal_blocks.append(ell_from_csr(far, slots_per_row))
+
+    return MatrixSlicePlan(
+        A_local=stack_ells(local_blocks),
+        A_nonlocal=stack_ells(nonlocal_blocks),
+        send_idx=send_idx,
+        lmax=lmax,
+        max_per_pair=M,
+        n_devices=q,
+        n_rows=n,
+        row_starts=tuple(int(s) for s in row_starts),
+    )

@@ -1,0 +1,132 @@
+"""Baseline SpMM tests vs scipy goldens — mirrors the reference's baseline
+test coverage (reference: tests/test_spmmPETSc.py at 4 and 6 ranks with equal
+and unequal slices incl. zero-row ranks; scripts/spmm_15d_main.py --validate
+full-result comparison)."""
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+from arrow_matrix_tpu.baselines import (
+    Spmm1D,
+    Spmm15D,
+    build_slice_plan,
+    grid_mesh,
+)
+from arrow_matrix_tpu.baselines.spmm_15d import replication_factor
+from arrow_matrix_tpu.baselines.spmm_petsc import slice_mesh
+from arrow_matrix_tpu.io.generate import barabasi_albert, random_csr, random_dense
+
+
+# ----------------------------------------------------------------- 1.5D
+
+
+@pytest.mark.parametrize("p_div_c,c", [(4, 2), (8, 1), (2, 4), (2, 2)])
+def test_15d_product(p_div_c, c):
+    A = random_csr(200, 200, 8, seed=p_div_c * 10 + c)
+    X = random_dense(200, 16, seed=3)
+    runner = Spmm15D(A, grid_mesh(p_div_c, c))
+    y = runner.spmm(runner.distribute(X))
+    np.testing.assert_allclose(runner.collect(y), A @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_15d_rectangular():
+    A = random_csr(120, 260, 5, seed=1)
+    X = random_dense(260, 8, seed=2)
+    runner = Spmm15D(A, grid_mesh(4, 2))
+    y = runner.spmm(runner.distribute(X))
+    np.testing.assert_allclose(runner.collect(y), A @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_15d_iterated_step():
+    A = random_csr(96, 96, 6, seed=5)
+    X = random_dense(96, 8, seed=6)
+    runner = Spmm15D(A, grid_mesh(4, 2))
+    x = runner.distribute(X)
+    ref = X.copy()
+    for _ in range(3):
+        x = runner.step(x)
+        ref = A @ ref
+    np.testing.assert_allclose(runner.collect_x(x), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_15d_reference_config():
+    """The reference's README example: random matrix on 8 ranks
+    (reference: README.md:100-103) — scaled down."""
+    A = random_csr(1000, 1000, 10, seed=7)
+    X = random_dense(1000, 32, seed=8)
+    c = replication_factor(8)
+    runner = Spmm15D(A, grid_mesh(8 // c, c))
+    y = runner.spmm(runner.distribute(X))
+    np.testing.assert_allclose(runner.collect(y), A @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_replication_factor_auto():
+    assert replication_factor(8) == 2
+    assert replication_factor(16) == 4
+    assert replication_factor(4) == 2
+    assert replication_factor(2) == 1
+
+
+# ----------------------------------------------------------------- 1D PETSc
+
+
+@pytest.mark.parametrize("q", [4, 6, 8])
+def test_1d_even_partition(q):
+    A = random_csr(96, 96, 7, seed=q)
+    X = random_dense(96, 16, seed=1)
+    plan = build_slice_plan(A, n_devices=q)
+    runner = Spmm1D(plan, slice_mesh(q))
+    x = runner.step(runner.distribute(X))
+    np.testing.assert_allclose(runner.collect(x), A @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_1d_identity():
+    """Identity matrix: no communication, output == input
+    (reference: tests/test_spmmPETSc.py:95-121)."""
+    n, q = 64, 4
+    A = sparse.identity(n, dtype=np.float32, format="csr")
+    X = random_dense(n, 8, seed=0)
+    plan = build_slice_plan(A, n_devices=q)
+    assert (np.asarray(plan.send_idx) == plan.lmax).all()  # nothing to ship
+    runner = Spmm1D(plan, slice_mesh(q))
+    x = runner.step(runner.distribute(X))
+    np.testing.assert_allclose(runner.collect(x), X, rtol=1e-5, atol=1e-5)
+
+
+def test_1d_unequal_slices_with_zero_rows():
+    """Unequal partition including empty slices
+    (reference: tests/test_spmmPETSc.py:44-71)."""
+    n, q = 90, 6
+    A = random_csr(n, n, 5, seed=11)
+    X = random_dense(n, 16, seed=12)
+    counts = [30, 0, 25, 5, 0, 30]
+    plan = build_slice_plan(A, row_counts=counts)
+    runner = Spmm1D(plan, slice_mesh(q))
+    x = runner.step(runner.distribute(X))
+    np.testing.assert_allclose(runner.collect(x), A @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_1d_iterated():
+    n, q = 64, 4
+    A = barabasi_albert(n, 4, seed=13)
+    X = random_dense(n, 8, seed=14)
+    plan = build_slice_plan(A, n_devices=q)
+    runner = Spmm1D(plan, slice_mesh(q))
+    x = runner.distribute(X)
+    ref = X.copy()
+    for _ in range(4):
+        x = runner.step(x)
+        ref = A @ ref
+    np.testing.assert_allclose(runner.collect(x), ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("density", [2, 12])
+def test_1d_densities(density):
+    n, q = 80, 4
+    A = random_csr(n, n, density, seed=density)
+    X = random_dense(n, 16, seed=3)
+    plan = build_slice_plan(A, n_devices=q)
+    runner = Spmm1D(plan, slice_mesh(q))
+    x = runner.step(runner.distribute(X))
+    np.testing.assert_allclose(runner.collect(x), A @ X, rtol=1e-4, atol=1e-4)
