@@ -1,0 +1,143 @@
+"""Arrow SpMM benchmark driver.
+
+Capability parity with ``bench_spmm`` (reference: arrow/arrow_bench.py:12-137):
+generate a synthetic Barabási decomposition when no path is given, load +
+compile, run the timed iteration loop with per-iteration failure detection,
+and emit metrics through the logging subsystem.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from arrow_matrix_tpu.bench.failure import CollectiveAbort, all_processes_succeeded
+from arrow_matrix_tpu.decomposition import arrow_decomposition
+from arrow_matrix_tpu.io import graphio
+from arrow_matrix_tpu.io.generate import barabasi_albert, random_dense
+from arrow_matrix_tpu.parallel import ArrowSpmm, block_mesh
+from arrow_matrix_tpu.parallel.local import local_step
+from arrow_matrix_tpu.plan import compile_plan
+from arrow_matrix_tpu.utils import metrics
+from arrow_matrix_tpu.version import ARROW_ALGO_VERSION
+
+
+def bench_spmm(
+    path: Optional[str] = None,
+    width: int = 10_000,
+    features: int = 16,
+    iterations: int = 10,
+    block_diagonal: bool = True,
+    n_devices: Optional[int] = None,
+    ba_vertices: int = 100_000,
+    ba_neighbors: int = 4,
+    use_npy: bool = True,
+    use_mmap: bool = False,
+    log_dir: str = "./logs",
+    seed: int = 0,
+) -> dict:
+    """Run the iterated arrow SpMM benchmark; returns summary statistics.
+
+    :param path: decomposition path prefix (graphio scheme). If None, a
+        Barabási graph is generated and decomposed on the fly
+        (reference: arrow_bench.py:28-41).
+    :param n_devices: block-axis mesh size; defaults to all local devices,
+        or 1 for the fused single-chip path.
+    """
+    devices = jax.devices()
+    n_devices = n_devices or len(devices)
+
+    dataset = path or f"ba_{ba_vertices}_{ba_neighbors}"
+    if path is None:
+        A = barabasi_albert(ba_vertices, ba_neighbors, seed=seed)
+        with metrics.span("decomposition_time"):
+            decomposition = arrow_decomposition(
+                A,
+                width,
+                max_number_of_levels=100,
+                block_diagonal=block_diagonal,
+                seed=seed,
+            )
+    else:
+        loader = graphio.load_decomposition_new if use_npy else graphio.load_decomposition
+        kwargs = {"mem_map": use_mmap} if use_npy else {}
+        decomposition = loader(path, width, block_diagonal=block_diagonal, **kwargs)
+        if not decomposition:
+            raise FileNotFoundError(
+                f"decomposition '{path}' width {width} not found"
+            )
+
+    metrics.wandb_init(
+        algorithm=ARROW_ALGO_VERSION
+        + ("_BlockDiagonal" if block_diagonal else "_Banded"),
+        dataset=dataset,
+        config={
+            "width": width,
+            "n_features": features,
+            "iterations": iterations,
+            "device": jax.default_backend(),
+            "n_devices": n_devices,
+            "levels": len(decomposition),
+        },
+    )
+
+    # Distributed: one block per device. Single chip: as many blocks as the
+    # matrix needs (the local runner vmaps over blocks on one device).
+    n_rows = decomposition[0][0].shape[0]
+    n_blocks = n_devices if n_devices > 1 else max(1, -(-n_rows // width))
+    with metrics.span("plan_compile_time"):
+        plan = compile_plan(
+            decomposition, width, n_blocks, block_diagonal=block_diagonal
+        )
+    nnz = sum(int(np.diff(m.indptr).sum()) for m, _ in decomposition)
+
+    rng = np.random.default_rng(seed + 1)
+    if n_devices > 1:
+        runner = ArrowSpmm(plan, block_mesh(n_devices))
+        x = runner.distribute(random_dense(plan.n_rows, features, seed=seed + 1))
+        step = runner.step
+    else:
+        dplan = jax.device_put(plan)
+        x = jnp.asarray(
+            rng.random((plan.padded_rows, features), dtype=np.float32)
+        )
+        jitted = jax.jit(local_step)
+        step = lambda x: jitted(dplan, x)
+
+    # Warm-up / compile.
+    x = step(x)
+    jax.block_until_ready(x)
+
+    times = []
+    for it in range(iterations):
+        metrics.set_iteration_data({"iteration": it})
+        ok = True
+        tic = time.perf_counter()
+        try:
+            x = step(x)
+            jax.block_until_ready(x)
+        except Exception as e:  # noqa: BLE001 — mirror collective abort
+            print(f"iteration {it} failed: {e}", flush=True)
+            ok = False
+        toc = time.perf_counter()
+        if not all_processes_succeeded(ok):
+            metrics.finish(log_dir)
+            raise CollectiveAbort(f"iteration {it} failed on some host")
+        times.append(toc - tic)
+        metrics.log({"spmm_time": toc - tic})
+
+    log_path = metrics.finish(log_dir)
+    med = float(np.median(times))
+    return {
+        "iterations": iterations,
+        "median_spmm_time": med,
+        "nnz": nnz,
+        "nnz_per_s": nnz / med if med > 0 else float("inf"),
+        "levels": len(decomposition),
+        "log_path": log_path,
+    }

@@ -1,0 +1,101 @@
+"""``spmm_15d`` CLI — 1.5D A-stationary SpMM benchmark.
+
+Flag parity with the reference (reference: scripts/spmm_15d_main.py:21-69:
+--dataset random|file, --vertices, --edges, --columns, --replication 0=auto,
+--validate, --iterations).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+
+from arrow_matrix_tpu.baselines import Spmm15D, grid_mesh
+from arrow_matrix_tpu.baselines.spmm_15d import replication_factor
+from arrow_matrix_tpu.io.generate import random_csr, random_dense
+from arrow_matrix_tpu.utils import metrics
+from arrow_matrix_tpu.utils.args import str2bool
+from arrow_matrix_tpu.version import SPMM_15D_ALGO_VERSION
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", choices=["random", "file"], default="random")
+    p.add_argument("--file", type=str, default=None, help=".npz matrix path")
+    p.add_argument("-v", "--vertices", type=int, default=100_000)
+    p.add_argument("-e", "--edges", type=int, default=1_000_000)
+    p.add_argument("-c", "--columns", type=int, default=128)
+    p.add_argument("--replication", type=int, default=0, help="0 = auto")
+    p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--validate", type=str2bool, default=False)
+    p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--log_dir", type=str, default="./logs")
+    args = p.parse_args(argv)
+
+    n_dev = args.devices or len(jax.devices())
+    c = args.replication or replication_factor(n_dev)
+    if n_dev % c:
+        raise SystemExit(f"devices ({n_dev}) must be divisible by replication ({c})")
+
+    if args.dataset == "file":
+        from scipy import sparse
+
+        A = sparse.load_npz(args.file).tocsr()
+        dataset = args.file
+    else:
+        nnz_per_row = max(1, args.edges // args.vertices)
+        A = random_csr(args.vertices, args.vertices, nnz_per_row, seed=42)
+        dataset = f"random_{args.vertices}_{args.edges}"
+
+    metrics.wandb_init(
+        algorithm=f"{SPMM_15D_ALGO_VERSION}_c_{c}",
+        dataset=dataset,
+        config={
+            "n_features": args.columns,
+            "iterations": args.iterations,
+            "device": jax.default_backend(),
+            "n_devices": n_dev,
+            "replication": c,
+        },
+    )
+
+    runner = Spmm15D(A, grid_mesh(n_dev // c, c))
+    X = random_dense(A.shape[1], args.columns, seed=1)
+    x = runner.distribute(X)
+    y = runner.spmm(x)
+    jax.block_until_ready(y)
+
+    if args.validate:
+        ref = A @ X
+        got = runner.collect(y)
+        rel = np.linalg.norm(got - ref) / max(1e-30, np.linalg.norm(ref))
+        print(f"validation relative error: {rel:.3e}")
+        assert rel < 1e-4, "validation FAILED"
+
+    times = []
+    for it in range(args.iterations):
+        metrics.set_iteration_data({"iteration": it})
+        tic = time.perf_counter()
+        y = runner.spmm(x)
+        jax.block_until_ready(y)
+        toc = time.perf_counter()
+        times.append(toc - tic)
+        metrics.log({"spmm_time": toc - tic})
+    metrics.finish(args.log_dir)
+
+    med = float(np.median(times))
+    print(json.dumps({
+        "median_spmm_time": med,
+        "nnz": int(A.nnz),
+        "nnz_per_s": A.nnz / med,
+        "replication": c,
+    }))
+
+
+if __name__ == "__main__":
+    main()

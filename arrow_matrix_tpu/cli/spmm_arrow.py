@@ -1,0 +1,54 @@
+"""``spmm_arrow`` CLI — distributed iterated arrow SpMM benchmark.
+
+Flag parity with the reference (reference: scripts/spmm_arrow_main.py:10-29:
+--path, --width, --features, --blocked, --iterations, --ba_neighbors, --npy;
+--device/--slim/--ranksperside are MPI/GPU artifacts replaced by --devices —
+on TPU the slim layout with one device per block row subsumes the fat layout,
+see arrow_matrix_tpu/parallel/arrow_spmm.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from arrow_matrix_tpu.bench import bench_spmm
+from arrow_matrix_tpu.utils.args import str2bool
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--path", type=str, default=None,
+                   help="decomposition path prefix; generates a Barabási graph if omitted")
+    p.add_argument("--width", type=int, default=10_000)
+    p.add_argument("--features", type=int, default=16)
+    p.add_argument("--blocked", type=str2bool, default=True,
+                   help="block-diagonal decomposition (vs banded)")
+    p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--devices", type=int, default=None,
+                   help="block-axis mesh size (default: all local devices)")
+    p.add_argument("--ba_vertices", type=int, default=100_000)
+    p.add_argument("--ba_neighbors", type=int, default=4)
+    p.add_argument("--npy", type=str2bool, default=True)
+    p.add_argument("--mmap", type=str2bool, default=False)
+    p.add_argument("--log_dir", type=str, default="./logs")
+    args = p.parse_args(argv)
+
+    stats = bench_spmm(
+        path=args.path,
+        width=args.width,
+        features=args.features,
+        iterations=args.iterations,
+        block_diagonal=args.blocked,
+        n_devices=args.devices,
+        ba_vertices=args.ba_vertices,
+        ba_neighbors=args.ba_neighbors,
+        use_npy=args.npy,
+        use_mmap=args.mmap,
+        log_dir=args.log_dir,
+    )
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+// arrowcore — C++ core for the arrow decomposition's sequential graph
+// algorithms: Kruskal random spanning forest (union-find with rank + path
+// compression) and subtree-size DFS linearization.
+//
+// This is the TPU framework's native-language replacement for the
+// reference's Julia performance rewrite (reference:
+// julia/arrow/GraphAlgorithms.jl — DisjointSet :7-41, minimum_spanning_forest
+// :45-80, bfs :83-157; julia/arrow/ArrowDecomposition.jl linearization),
+// which exists because the pure-Python pipeline is too slow for
+// 100M+-row graphs (reference: README.md:50,67-68).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
+//
+// Build: make -C arrow_matrix_tpu/decomposition/_native
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+using std::int64_t;
+
+namespace {
+
+struct DisjointSet {
+  std::vector<int64_t> parent;
+  std::vector<int32_t> rank_;
+
+  explicit DisjointSet(int64_t n) : parent(n), rank_(n, 0) {
+    std::iota(parent.begin(), parent.end(), int64_t{0});
+  }
+
+  int64_t find(int64_t v) {
+    int64_t root = v;
+    while (parent[root] != root) root = parent[root];
+    while (parent[v] != root) {  // path compression
+      int64_t next = parent[v];
+      parent[v] = root;
+      v = next;
+    }
+    return root;
+  }
+
+  bool unite(int64_t a, int64_t b) {
+    a = find(a);
+    b = find(b);
+    if (a == b) return false;
+    if (rank_[a] < rank_[b]) std::swap(a, b);
+    parent[b] = a;
+    if (rank_[a] == rank_[b]) ++rank_[a];
+    return true;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Kruskal minimum spanning forest of an undirected graph given as a
+// symmetric CSR pattern with per-entry weights. Emits the forest directly as
+// a rooted predecessor array (BFS-rooted at each component's smallest
+// vertex, components ordered by smallest vertex) — the representation the
+// linearizer consumes.
+int arrow_random_forest(int64_t n, const int64_t* indptr,
+                        const int64_t* indices, const double* weights,
+                        int64_t* pred, int64_t* ncomp_out) {
+  const int64_t nnz = indptr[n];
+
+  // Candidate edges: upper-triangle entries only (the caller passes a
+  // symmetric pattern; each undirected edge is considered once).
+  std::vector<int64_t> eu, ev;
+  std::vector<double> ew;
+  eu.reserve(nnz / 2);
+  ev.reserve(nnz / 2);
+  ew.reserve(nnz / 2);
+  for (int64_t u = 0; u < n; ++u) {
+    for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+      const int64_t v = indices[p];
+      if (v > u) {
+        eu.push_back(u);
+        ev.push_back(v);
+        ew.push_back(weights[p]);
+      }
+    }
+  }
+
+  std::vector<int64_t> order(eu.size());
+  std::iota(order.begin(), order.end(), int64_t{0});
+  std::sort(order.begin(), order.end(),
+            [&](int64_t a, int64_t b) { return ew[a] < ew[b]; });
+
+  DisjointSet ds(n);
+  std::vector<int64_t> fu, fv;
+  fu.reserve(n);
+  fv.reserve(n);
+  for (int64_t idx : order) {
+    if (ds.unite(eu[idx], ev[idx])) {
+      fu.push_back(eu[idx]);
+      fv.push_back(ev[idx]);
+      if (static_cast<int64_t>(fu.size()) == n - 1) break;
+    }
+  }
+
+  // Forest adjacency (counting sort).
+  std::vector<int64_t> deg(n, 0);
+  for (size_t i = 0; i < fu.size(); ++i) {
+    ++deg[fu[i]];
+    ++deg[fv[i]];
+  }
+  std::vector<int64_t> adj_ptr(n + 1, 0);
+  for (int64_t v = 0; v < n; ++v) adj_ptr[v + 1] = adj_ptr[v] + deg[v];
+  std::vector<int64_t> adj(fu.size() * 2);
+  std::vector<int64_t> fill(adj_ptr.begin(), adj_ptr.end() - 1);
+  for (size_t i = 0; i < fu.size(); ++i) {
+    adj[fill[fu[i]]++] = fv[i];
+    adj[fill[fv[i]]++] = fu[i];
+  }
+
+  // Root every component at its smallest vertex; BFS to build pred.
+  std::fill(pred, pred + n, int64_t{-2});  // -2 == unvisited
+  std::vector<int64_t> queue;
+  queue.reserve(n);
+  int64_t ncomp = 0;
+  for (int64_t r = 0; r < n; ++r) {
+    if (pred[r] != -2) continue;
+    ++ncomp;
+    pred[r] = -1;
+    queue.clear();
+    queue.push_back(r);
+    for (size_t qi = 0; qi < queue.size(); ++qi) {
+      const int64_t u = queue[qi];
+      for (int64_t p = adj_ptr[u]; p < adj_ptr[u + 1]; ++p) {
+        const int64_t v = adj[p];
+        if (pred[v] == -2) {
+          pred[v] = u;
+          queue.push_back(v);
+        }
+      }
+    }
+  }
+  *ncomp_out = ncomp;
+  return 0;
+}
+
+// Subtree-size DFS preorder of a rooted forest: visit children in
+// increasing subtree-size order (ties by id), one tree after another in the
+// given root order. Mirrors the closed-form numpy implementation
+// (arrow_matrix_tpu/decomposition/linearize.py) and the reference's
+// stack traversal semantics.
+int arrow_linearize_forest(int64_t n, const int64_t* pred,
+                           const int64_t* roots, int64_t n_roots,
+                           int64_t* out_order) {
+  // Children lists via counting sort.
+  std::vector<int64_t> child_cnt(n, 0);
+  for (int64_t v = 0; v < n; ++v)
+    if (pred[v] >= 0) ++child_cnt[pred[v]];
+  std::vector<int64_t> child_ptr(n + 1, 0);
+  for (int64_t v = 0; v < n; ++v) child_ptr[v + 1] = child_ptr[v] + child_cnt[v];
+  std::vector<int64_t> children(child_ptr[n]);
+  std::vector<int64_t> fill(child_ptr.begin(), child_ptr.end() - 1);
+  for (int64_t v = 0; v < n; ++v)
+    if (pred[v] >= 0) children[fill[pred[v]]++] = v;
+
+  // Subtree sizes: process vertices in reverse BFS order.
+  std::vector<int64_t> bfs;
+  bfs.reserve(n);
+  for (int64_t r = 0; r < n_roots; ++r) bfs.push_back(roots[r]);
+  for (size_t qi = 0; qi < bfs.size(); ++qi) {
+    const int64_t u = bfs[qi];
+    for (int64_t p = child_ptr[u]; p < child_ptr[u + 1]; ++p)
+      bfs.push_back(children[p]);
+  }
+  if (static_cast<int64_t>(bfs.size()) != n) return 1;  // pred/roots mismatch
+
+  std::vector<int64_t> size(n, 1);
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const int64_t v = bfs[i];
+    if (pred[v] >= 0) size[pred[v]] += size[v];
+  }
+
+  // Order children of every vertex by (size asc, id asc).
+  for (int64_t v = 0; v < n; ++v) {
+    std::sort(children.begin() + child_ptr[v], children.begin() + child_ptr[v + 1],
+              [&](int64_t a, int64_t b) {
+                return size[a] != size[b] ? size[a] < size[b] : a < b;
+              });
+  }
+
+  // Explicit-stack DFS preorder; push children reversed so the smallest
+  // subtree is visited first.
+  std::vector<int64_t> stack;
+  stack.reserve(64);
+  int64_t pos = 0;
+  for (int64_t r = 0; r < n_roots; ++r) {
+    stack.push_back(roots[r]);
+    while (!stack.empty()) {
+      const int64_t v = stack.back();
+      stack.pop_back();
+      out_order[pos++] = v;
+      for (int64_t p = child_ptr[v + 1] - 1; p >= child_ptr[v]; --p)
+        stack.push_back(children[p]);
+    }
+  }
+  return pos == n ? 0 : 2;
+}
+
+}  // extern "C"

@@ -81,6 +81,7 @@ def _arrow_linear_order(
     arrow_width: int,
     deterministic: bool,
     rng: np.random.Generator,
+    native: bool = True,
 ) -> np.ndarray:
     """Linear order for one level: prune the ``arrow_width`` highest-degree
     vertices to the front, linearize the positive-degree remainder with the
@@ -100,7 +101,9 @@ def _arrow_linear_order(
     if deterministic:
         sub_order = linearize.linearize_bfs(A_mid)
     else:
-        sub_order = linearize.linearize_with_random_forest(A_mid, rng)
+        sub_order = linearize.linearize_with_random_forest(
+            A_mid, rng, use_native=native
+        )
 
     order = np.concatenate([head, middle[sub_order], singletons])
     assert order.size == n
@@ -129,6 +132,7 @@ def arrow_decomposition(
     block_diagonal: bool = False,
     prune: bool = True,
     seed: int | None = None,
+    native: bool = True,
 ) -> list[ArrowGraph]:
     """Decompose a square sparse matrix into a chain of arrow matrices.
 
@@ -148,6 +152,8 @@ def arrow_decomposition(
     :param prune: place the ``arrow_width`` highest-degree vertices first and
         always keep their edges at the current level.
     :param seed: RNG seed for the random spanning forests.
+    :param native: use the C++ decomposition core when built (no-op
+        otherwise); the numpy pipeline is always used for the BFS level.
     """
     A = sparse.csr_matrix(A)
     assert A.shape[0] == A.shape[1], "adjacency must be square"
@@ -161,7 +167,7 @@ def arrow_decomposition(
     level = A
     while True:
         is_last = len(decomposition) + 1 >= max_number_of_levels
-        order = _arrow_linear_order(level, arrow_width, is_last, rng)
+        order = _arrow_linear_order(level, arrow_width, is_last, rng, native)
         inv = np.argsort(order)
 
         if not is_last:

@@ -77,12 +77,18 @@ def linearize_rooted_forest(
 
 
 def linearize_with_random_forest(
-    A_sub: sparse.csr_matrix, rng: np.random.Generator
+    A_sub: sparse.csr_matrix,
+    rng: np.random.Generator,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Random-spanning-forest linearization (the reference's default,
     reference: arrow/decomposition.py:165-205): draw a random spanning forest,
     root each tree at its component's smallest vertex, and emit the
     subtree-size DFS preorder, one component after another.
+
+    Dispatches to the C++ core (union-find Kruskal + DFS linearizer) when it
+    has been built — the analogue of the reference's Julia fast path for
+    huge graphs (reference: julia/arrow/GraphAlgorithms.jl).
 
     :return: order over the vertices of A_sub (order[i] = local vertex id).
     """
@@ -90,6 +96,16 @@ def linearize_with_random_forest(
     if n == 0:
         return np.empty(0, dtype=np.int64)
     A_sym = graphalgs.symmetrize_pattern(A_sub)
+
+    from arrow_matrix_tpu.decomposition import native
+
+    if use_native and native.AVAILABLE:
+        weights = rng.uniform(0.1, 1.0, size=A_sym.nnz)
+        pred, _ = native.random_spanning_forest(
+            A_sym.indptr, A_sym.indices, weights
+        )
+        roots = np.flatnonzero(pred == -1)
+        return native.linearize_forest(pred, roots)
     forest = graphalgs.random_spanning_forest(A_sym, rng)
     n_comp, labels = graphalgs.connected_component_labels(A_sym)
     roots = np.full(n_comp, n, dtype=np.int64)

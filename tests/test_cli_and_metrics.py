@@ -1,0 +1,180 @@
+"""CLI, metrics, bench driver, and native-core tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+from arrow_matrix_tpu.decomposition import arrow_decomposition, native
+from arrow_matrix_tpu.decomposition.arrow import compute_spmm
+from arrow_matrix_tpu.io import graphio
+from arrow_matrix_tpu.io.generate import barabasi_albert, random_dense
+from arrow_matrix_tpu.utils import metrics
+
+
+def test_metrics_buffer_and_sink(tmp_path):
+    metrics.wandb_init("TestAlgo", "testdata", config={"width": 7})
+    metrics.set_iteration_data({"iteration": 0})
+    metrics.log({"spmm_kernel_time": 0.5})
+    metrics.log({"spmm_kernel_time": 0.25})  # accumulates
+    metrics.set_iteration_data({"iteration": 1})
+    metrics.log({"spmm_time": 1.0})
+    path = metrics.finish(str(tmp_path))
+    recs = [json.loads(l) for l in open(path)]
+    assert recs[0]["spmm_kernel_time"] == 0.75
+    assert recs[1]["spmm_time"] == 1.0
+    config = json.load(open(path.replace(".jsonl", ".config")))
+    assert config["algorithm"] == "TestAlgo" and config["width"] == 7
+
+
+def test_metrics_span(tmp_path):
+    metrics.wandb_init("SpanAlgo", "d")
+    metrics.set_iteration_data({"iteration": 0})
+    with metrics.span("phase_time"):
+        pass
+    path = metrics.finish(str(tmp_path))
+    rec = json.loads(open(path).readline())
+    assert "phase_time" in rec
+
+
+def test_bench_spmm_smoke(tmp_path):
+    from arrow_matrix_tpu.bench import bench_spmm
+
+    stats = bench_spmm(
+        width=32,
+        features=8,
+        iterations=2,
+        ba_vertices=128,
+        ba_neighbors=3,
+        n_devices=4,
+        log_dir=str(tmp_path),
+    )
+    assert stats["iterations"] == 2
+    assert stats["nnz_per_s"] > 0
+    assert os.path.exists(stats["log_path"])
+
+
+def test_bench_spmm_single_device(tmp_path):
+    from arrow_matrix_tpu.bench import bench_spmm
+
+    stats = bench_spmm(
+        width=32,
+        features=8,
+        iterations=2,
+        ba_vertices=96,
+        ba_neighbors=3,
+        n_devices=1,
+        log_dir=str(tmp_path),
+    )
+    assert stats["median_spmm_time"] > 0
+
+
+def test_bench_spmm_from_path(tmp_path):
+    from arrow_matrix_tpu.bench import bench_spmm
+
+    A = barabasi_albert(128, 3, seed=5)
+    decomp = arrow_decomposition(A, 33, max_number_of_levels=100,
+                                 block_diagonal=True, seed=0)
+    base = str(tmp_path / "g")
+    graphio.save_decomposition_new(A, decomp, base, block_diagonal=True)
+    stats = bench_spmm(
+        path=base, width=33, features=4, iterations=1, n_devices=4,
+        log_dir=str(tmp_path),
+    )
+    assert stats["levels"] == len(decomp)
+
+
+def test_cli_decompose_roundtrip(tmp_path):
+    from arrow_matrix_tpu.cli import decompose
+
+    A = barabasi_albert(96, 3, seed=2)
+    from scipy import io as scio
+
+    scio.mmwrite(str(tmp_path / "g.mtx"), A)
+    decompose.main([
+        "--dataset_dir", str(tmp_path), "--dataset_name", "g",
+        "--format", "mtx", "--width", "25", "--max_levels", "50",
+    ])
+    loaded = graphio.load_decomposition_new(str(tmp_path / "g"), 25)
+    assert loaded
+    X = random_dense(96, 8, seed=1)
+    np.testing.assert_allclose(
+        compute_spmm(loaded, X), A.astype(np.float32).maximum(A.T) @ X,
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_cli_spmm_15d(capsys):
+    from arrow_matrix_tpu.cli import spmm_15d
+
+    spmm_15d.main([
+        "--vertices", "200", "--edges", "1000", "--columns", "8",
+        "--iterations", "1", "--devices", "8", "--validate", "true",
+        "--log_dir", "/tmp/logs_test_15d",
+    ])
+    out = capsys.readouterr().out
+    assert "validation relative error" in out
+
+
+def test_cli_spmm_petsc_dryrun(capsys):
+    from arrow_matrix_tpu.cli import spmm_petsc
+
+    spmm_petsc.main([
+        "--vertices", "200", "--edges", "800", "--devices", "4",
+        "--dryrun", "true",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_devices"] == 4
+
+
+def test_cli_spmm_petsc_partitioned_slices(tmp_path, capsys):
+    """Reference slice naming {name}.part.P.slice.i.npz
+    (reference: spmm_petsc.py:82-102)."""
+    from arrow_matrix_tpu.cli import spmm_petsc
+
+    n, q = 80, 4
+    A = barabasi_albert(n, 3, seed=7).astype(np.float32)
+    counts = [30, 10, 25, 15]
+    start = 0
+    for i, cnt in enumerate(counts):
+        sl = A[start : start + cnt]
+        sparse.save_npz(str(tmp_path / f"m.part.{q}.slice.{i}.npz"), sl)
+        start += cnt
+    spmm_petsc.main([
+        "--file", str(tmp_path / "m"), "--devices", str(q),
+        "--columns", "4", "--iterations", "1", "--validate", "true",
+        "--log_dir", str(tmp_path),
+    ])
+    assert "validation relative error" in capsys.readouterr().out
+
+
+@pytest.mark.skipif(not native.AVAILABLE, reason="C++ core not built")
+def test_native_linearize_matches_properties():
+    """The native path must produce a valid decomposition with identical
+    invariants (orders may differ from numpy: different forest)."""
+    A = barabasi_albert(512, 4, seed=3)
+    X = random_dense(512, 8, seed=0)
+    d = arrow_decomposition(A, 120, max_number_of_levels=100,
+                            block_diagonal=True, seed=1, native=True)
+    for ag in d:
+        assert np.array_equal(np.sort(ag.permutation), np.arange(512))
+    np.testing.assert_allclose(compute_spmm(d, X), A @ X, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not native.AVAILABLE, reason="C++ core not built")
+def test_native_forest_is_spanning():
+    from arrow_matrix_tpu.decomposition import graphalgs
+
+    A = barabasi_albert(256, 3, seed=9)
+    S = graphalgs.symmetrize_pattern(A)
+    rng = np.random.default_rng(0)
+    w = rng.uniform(0.1, 1.0, S.nnz)
+    pred, ncomp = native.random_spanning_forest(S.indptr, S.indices, w)
+    n_scipy, _ = graphalgs.connected_component_labels(S)
+    assert ncomp == n_scipy
+    roots = np.flatnonzero(pred == -1)
+    assert roots.size == ncomp
+    order = native.linearize_forest(pred, roots)
+    assert np.array_equal(np.sort(order), np.arange(256))
