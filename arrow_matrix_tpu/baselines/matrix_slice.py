@@ -30,7 +30,7 @@ from scipy import sparse
 
 from flax import struct
 
-from arrow_matrix_tpu.ops.formats import EllMat, ell_from_csr, stack_ells
+from arrow_matrix_tpu.ops.formats import EllMat, stack_ells_from_csr
 
 
 @struct.dataclass
@@ -123,12 +123,12 @@ def build_slice_plan(
             (sl.data[~in_range], (sl.row[~in_range], far_cols)),
             shape=(lmax, q * M),
         )
-        local_blocks.append(ell_from_csr(loc, slots_per_row))
-        nonlocal_blocks.append(ell_from_csr(far, slots_per_row))
+        local_blocks.append(loc)
+        nonlocal_blocks.append(far)
 
     return MatrixSlicePlan(
-        A_local=stack_ells(local_blocks),
-        A_nonlocal=stack_ells(nonlocal_blocks),
+        A_local=stack_ells_from_csr(local_blocks, slots_per_row),
+        A_nonlocal=stack_ells_from_csr(nonlocal_blocks, slots_per_row),
         send_idx=send_idx,
         lmax=lmax,
         max_per_pair=M,

@@ -35,7 +35,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from arrow_matrix_tpu.ops.ell import ell_spmm
-from arrow_matrix_tpu.ops.formats import EllMat, ell_from_csr, stack_ells
+from arrow_matrix_tpu.ops.formats import EllMat, stack_ells_from_csr
 
 ROW_AXIS = "row"
 REPL_AXIS = "repl"
@@ -112,12 +112,14 @@ class Spmm15D:
         for i in range(p_div_c):
             for j in range(c):
                 blk = Apad[i * lNI : (i + 1) * lNI, j * lNK : (j + 1) * lNK].tocsr()
-                flat_blocks.append(ell_from_csr(blk, slots_per_row))
-        stacked = stack_ells(flat_blocks)  # (P, V, R)
+                flat_blocks.append(blk)
+        stacked = stack_ells_from_csr(flat_blocks, slots_per_row)  # (P, V, R)
         self.lA = stacked.replace(
             idx=stacked.idx.reshape((p_div_c, c) + stacked.idx.shape[1:]),
             val=stacked.val.reshape((p_div_c, c) + stacked.val.shape[1:]),
-            combine=stacked.combine.reshape((p_div_c, c) + stacked.combine.shape[1:]),
+            combine=tuple(
+                t.reshape((p_div_c, c) + t.shape[1:]) for t in stacked.combine
+            ),
         )
 
         self._x_sharding = NamedSharding(mesh, P((REPL_AXIS, ROW_AXIS), None))
@@ -129,7 +131,7 @@ class Spmm15D:
             self.lA, jax.tree.map(lambda s: NamedSharding(mesh, s), self._plan_spec)
         )
 
-        needs_combine = self.lA.needs_combine
+        stage_inputs = self.lA.stage_inputs
 
         @functools.partial(
             jax.shard_map,
@@ -143,10 +145,10 @@ class Spmm15D:
             m = EllMat(
                 idx=lA.idx[0, 0],
                 val=lA.val[0, 0],
-                combine=lA.combine[0, 0],
+                combine=tuple(t[0, 0] for t in lA.combine),
                 n_rows=lNI,
                 n_cols=lNK,
-                needs_combine=needs_combine,
+                stage_inputs=stage_inputs,
             )
             y_partial = ell_spmm(m, x_cols)  # (lNI, k)
             return lax.psum(y_partial, REPL_AXIS)

@@ -81,10 +81,10 @@ class Spmm1D:
                 return EllMat(
                     idx=m.idx[0],
                     val=m.val[0],
-                    combine=m.combine[0],
+                    combine=tuple(t[0] for t in m.combine),
                     n_rows=lmax,
                     n_cols=n_cols,
-                    needs_combine=m.needs_combine,
+                    stage_inputs=m.stage_inputs,
                 )
 
             y = ell_spmm(local_ell(plan.A_local, lmax), x_local)

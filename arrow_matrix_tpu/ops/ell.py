@@ -3,13 +3,14 @@
 ``Y = A @ X`` for an :class:`EllMat` A and dense tall-skinny X:
 
     partial[v] = sum_r val[v, r] * X[idx[v, r]]          (gather + FMA)
-    Y[row]     = sum_g partial[combine[row, g]]          (combine gather)
+    partial    = stage_s(partial)  for each combine stage (segmented tree)
+    Y[row]     = partial[final[row, 0]]
 
 Everything is static-shaped gathers and reductions — no scatter, no dynamic
-control flow — so XLA fuses it into a single pass. With X resident on-chip
-the memory traffic is the ELL arrays themselves (~8 bytes/nnz), which is the
-speed-of-light regime for very sparse operands; the Pallas kernel in
-``bsr_pallas.py`` covers the denser band blocks on the MXU.
+control flow — so XLA fuses it into a single pass. The combine chain reduces
+split heavy rows in O(log nnz) arity-8 stages whose total size is ~V/7,
+instead of a (rows x max_splits) padded gather (profiling showed the latter
+dominating iteration time on power-law head panels).
 
 Replaces the reference's scipy-CSR / cuSPARSE local kernel
 (reference: arrow/arrow_mpi.py:196-272, arrow/common/sp2cp.py:6-16).
@@ -17,10 +18,13 @@ Replaces the reference's scipy-CSR / cuSPARSE local kernel
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from arrow_matrix_tpu.ops.formats import EllMat
+
+
+def _zero_row(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
 
 
 def ell_spmm(A: EllMat, x: jnp.ndarray, precision=None) -> jnp.ndarray:
@@ -29,17 +33,22 @@ def ell_spmm(A: EllMat, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     Returns (n_rows, k) in ``x.dtype`` with float32 accumulation.
     """
     assert A.idx.ndim == 2, "use vmap/shard_map for stacked EllMats"
+    k = x.shape[-1]
     gathered = jnp.take(x, A.idx.reshape(-1), axis=0)  # (V*R, k)
-    gathered = gathered.reshape(A.idx.shape + (x.shape[-1],))  # (V, R, k)
+    gathered = gathered.reshape(A.idx.shape + (k,))  # (V, R, k)
     partial = jnp.einsum(
         "vr,vrk->vk",
         A.val.astype(jnp.float32),
         gathered.astype(jnp.float32),
         precision=precision,
     )
-    if A.needs_combine:
-        y = jnp.take(partial, A.combine.reshape(-1), axis=0)
-        y = y.reshape(A.combine.shape + (x.shape[-1],)).sum(axis=1)
-    else:
-        y = jnp.take(partial, A.combine[:, 0], axis=0)
+    # Segmented-tree reduction: all stages but the last sum arity-8 groups;
+    # the final stage is a plain per-row gather.
+    for table in A.combine[:-1]:
+        p = _zero_row(partial)
+        g = jnp.take(p, table.reshape(-1), axis=0)
+        partial = g.reshape(table.shape + (k,)).sum(axis=1)
+    final = A.combine[-1]
+    p = _zero_row(partial)
+    y = jnp.take(p, final[:, 0], axis=0)
     return y[: A.n_rows].astype(x.dtype)

@@ -62,7 +62,11 @@ def _shard_spec(pytree):
 
 def _local(m: EllMat) -> EllMat:
     """Strip the per-device leading axis of size 1 inside shard_map."""
-    return m.replace(idx=m.idx[0], val=m.val[0], combine=m.combine[0])
+    return m.replace(
+        idx=m.idx[0],
+        val=m.val[0],
+        combine=tuple(t[0] for t in m.combine),
+    )
 
 
 def _route_local(rt: RouteTables) -> RouteTables:

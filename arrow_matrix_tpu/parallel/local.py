@@ -28,7 +28,7 @@ def _vmapped_spmm(stacked: EllMat, x_blocks: jnp.ndarray) -> jnp.ndarray:
             combine=comb,
             n_rows=stacked.n_rows,
             n_cols=stacked.n_cols,
-            needs_combine=stacked.needs_combine,
+            stage_inputs=stacked.stage_inputs,
         )
         return ell_spmm(m, xb)
 

@@ -29,7 +29,7 @@ from scipy import sparse
 import jax.numpy as jnp
 from flax import struct
 
-from arrow_matrix_tpu.ops.formats import EllMat, ell_from_csr, stack_ells
+from arrow_matrix_tpu.ops.formats import EllMat, ell_from_csr, stack_ells_from_csr
 from arrow_matrix_tpu.plan.routing import RouteTables, build_route_tables
 
 
@@ -221,16 +221,16 @@ def compile_plan(
         banded = not block_diagonal
         levels.append(
             LevelPlan(
-                head=stack_ells([ell_from_csr(b, slots_per_row) for b in head_blocks]),
-                diag=stack_ells([ell_from_csr(b, slots_per_row) for b in diag_blocks]),
-                col=stack_ells([ell_from_csr(b, slots_per_row) for b in col_blocks]),
+                head=stack_ells_from_csr(head_blocks, slots_per_row),
+                diag=stack_ells_from_csr(diag_blocks, slots_per_row),
+                col=stack_ells_from_csr(col_blocks, slots_per_row),
                 band_lo=(
-                    stack_ells([ell_from_csr(b, slots_per_row) for b in lo_blocks])
+                    stack_ells_from_csr(lo_blocks, slots_per_row)
                     if banded
                     else None
                 ),
                 band_hi=(
-                    stack_ells([ell_from_csr(b, slots_per_row) for b in hi_blocks])
+                    stack_ells_from_csr(hi_blocks, slots_per_row)
                     if banded
                     else None
                 ),

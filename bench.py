@@ -58,12 +58,19 @@ def main():
         return jax.lax.fori_loop(0, iters, lambda i, x: local_step(plan, x), x)
 
     run = jax.jit(run, static_argnums=2)
+
+    def sync(arr):
+        # NOTE: through the axon relay block_until_ready can return before
+        # the device finishes; a device->host transfer of (a slice of) the
+        # result is the only reliable fence.
+        return np.asarray(jax.device_get(arr[:1, :1]))
+
     x = run(plan, jnp.asarray(x0), args.iterations)  # compile + warm
-    jax.block_until_ready(x)
+    sync(x)
 
     tic = time.perf_counter()
     x = run(plan, jnp.asarray(x0), args.iterations)
-    jax.block_until_ready(x)
+    sync(x)
     device_time = (time.perf_counter() - tic) / args.iterations
 
     # Host scipy baseline (reference CPU kernel) on the same iteration.

@@ -12,7 +12,7 @@ from arrow_matrix_tpu.io.generate import (
     random_csr,
     structured_arrow_matrix,
 )
-from arrow_matrix_tpu.ops import EllMat, ell_from_csr, ell_spmm, stack_ells
+from arrow_matrix_tpu.ops import EllMat, ell_from_csr, ell_spmm, stack_ells_from_csr
 
 
 def _golden_check(A, k=16, seed=0, slots=None):
@@ -31,11 +31,12 @@ def test_random_csr():
 
 
 def test_power_law_row_split():
-    """Heavy rows must be split into virtual rows and recombined."""
+    """Heavy rows must be split into virtual rows and recombined through the
+    logarithmic combine chain."""
     A = barabasi_albert(512, 8, seed=3)
     m = _golden_check(A, slots=8)
     assert m.needs_combine
-    assert m.combine.shape[1] > 1
+    assert len(m.combine) > 1  # at least one arity-8 stage
 
 
 def test_empty_matrix():
@@ -76,7 +77,7 @@ def test_stacked_ells_match_members():
     blocks = [
         random_csr(32, 32, 3, seed=i) for i in range(4)
     ] + [sparse.csr_matrix((32, 32), dtype=np.float32)]
-    stacked = stack_ells([ell_from_csr(b) for b in blocks])
+    stacked = stack_ells_from_csr(blocks)
     rng = np.random.default_rng(0)
     X = rng.random((32, 8), dtype=np.float32)
 
@@ -84,10 +85,29 @@ def test_stacked_ells_match_members():
         m = EllMat(
             idx=idx, val=val, combine=comb,
             n_rows=stacked.n_rows, n_cols=stacked.n_cols,
-            needs_combine=stacked.needs_combine,
+            stage_inputs=stacked.stage_inputs,
         )
         return ell_spmm(m, jnp.asarray(X))
 
     ys = jax.vmap(one)(stacked.idx, stacked.val, stacked.combine)
     for b, y in zip(blocks, np.asarray(ys)):
+        np.testing.assert_allclose(y, b @ X, rtol=1e-5, atol=1e-5)
+
+def test_stacked_with_heavy_rows():
+    """Stacking blocks with very different degree distributions shares one
+    static chain structure."""
+    heavy = barabasi_albert(64, 8, seed=1)
+    light = random_csr(64, 64, 2, seed=2)
+    empty = sparse.csr_matrix((64, 64), dtype=np.float32)
+    stacked = stack_ells_from_csr([heavy, light, empty])
+    rng = np.random.default_rng(0)
+    X = rng.random((64, 8), dtype=np.float32)
+
+    def one(idx, val, comb):
+        m = EllMat(idx=idx, val=val, combine=comb, n_rows=64, n_cols=64,
+                   stage_inputs=stacked.stage_inputs)
+        return ell_spmm(m, jnp.asarray(X))
+
+    ys = jax.vmap(one)(stacked.idx, stacked.val, stacked.combine)
+    for b, y in zip([heavy, light, empty], np.asarray(ys)):
         np.testing.assert_allclose(y, b @ X, rtol=1e-5, atol=1e-5)
