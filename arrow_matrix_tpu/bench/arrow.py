@@ -21,7 +21,7 @@ from arrow_matrix_tpu.decomposition import arrow_decomposition
 from arrow_matrix_tpu.io import graphio
 from arrow_matrix_tpu.io.generate import barabasi_albert, random_dense
 from arrow_matrix_tpu.parallel import ArrowSpmm, block_mesh
-from arrow_matrix_tpu.parallel.local import local_step
+from arrow_matrix_tpu.parallel.local import compile_local_plan, local_step
 from arrow_matrix_tpu.plan import compile_plan
 from arrow_matrix_tpu.utils import metrics
 from arrow_matrix_tpu.version import ARROW_ALGO_VERSION
@@ -86,14 +86,13 @@ def bench_spmm(
         },
     )
 
-    # Distributed: one block per device. Single chip: as many blocks as the
-    # matrix needs (the local runner vmaps over blocks on one device).
-    n_rows = decomposition[0][0].shape[0]
-    n_blocks = n_devices if n_devices > 1 else max(1, -(-n_rows // width))
     with metrics.span("plan_compile_time"):
-        plan = compile_plan(
-            decomposition, width, n_blocks, block_diagonal=block_diagonal
-        )
+        if n_devices > 1:
+            plan = compile_plan(
+                decomposition, width, n_devices, block_diagonal=block_diagonal
+            )
+        else:
+            plan = compile_local_plan(decomposition, width, k_hint=features)
     nnz = sum(int(np.diff(m.indptr).sum()) for m, _ in decomposition)
 
     rng = np.random.default_rng(seed + 1)

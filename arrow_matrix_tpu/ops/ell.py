@@ -18,6 +18,7 @@ Replaces the reference's scipy-CSR / cuSPARSE local kernel
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from arrow_matrix_tpu.ops.formats import EllMat
@@ -42,13 +43,23 @@ def ell_spmm(A: EllMat, x: jnp.ndarray, precision=None) -> jnp.ndarray:
         gathered.astype(jnp.float32),
         precision=precision,
     )
-    # Segmented-tree reduction: all stages but the last sum arity-8 groups;
-    # the final stage is a plain per-row gather.
+    # First-chunk-identity layout: virtual row r < n_rows IS row r, so the
+    # light-row result is `base` with no indirection. The extras of heavy
+    # rows are reduced by the arity-8 chain (tiny arrays, cache-resident) and
+    # a final small-source gather adds each row's settled extras sum.
+    base = partial[: A.n_rows]
+    if len(A.combine) == 1 and A.combine[-1].shape[0] <= 1:
+        return base.astype(x.dtype)
+    extras = partial[A.n_rows :]
+    outputs = [extras]
     for table in A.combine[:-1]:
-        p = _zero_row(partial)
+        p = _zero_row(outputs[-1])
         g = jnp.take(p, table.reshape(-1), axis=0)
-        partial = g.reshape(table.shape + (k,)).sum(axis=1)
+        outputs.append(g.reshape(table.shape + (k,)).sum(axis=1))
     final = A.combine[-1]
-    p = _zero_row(partial)
-    y = jnp.take(p, final[:, 0], axis=0)
-    return y[: A.n_rows].astype(x.dtype)
+    buf = jnp.concatenate(outputs + [jnp.zeros((1, k), jnp.float32)], axis=0)
+    # Materialize the concat: a gather whose source is a fused concatenate
+    # lowers to per-element operand selection and runs ~10x slower (profiled).
+    (buf,) = jax.lax.optimization_barrier((buf,))
+    y = base + jnp.take(buf, final[:, 0], axis=0)
+    return y.astype(x.dtype)

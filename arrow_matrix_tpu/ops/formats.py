@@ -5,14 +5,16 @@ CuPy on GPU — reference: arrow/common/sp2cp.py, arrow/arrow_mpi.py:196-272).
 Neither maps to XLA: TPU kernels need static shapes and regular access. The
 workhorse here is a padded ELL format with *heavy-row splitting*:
 
-* every (virtual) row holds exactly ``R`` (index, value) slots; padding slots
-  carry ``val = 0`` so they contribute nothing; empty rows get no virtual row
-  at all, so storage scales with nnz, not the row count;
-* rows with more than ``R`` nonzeros are split into several virtual rows,
-  and a *chain* of arity-8 combine tables sums the partials back — a
-  logarithmic segmented-tree reduction. A power-law head row with 1000
-  nonzeros costs ~125 virtual rows and 3 tiny combine stages instead of a
-  (rows x 125) padded gather (which profiling showed dominating the step);
+* virtual row r < n_rows IS row r: it holds the row's first ``R`` (index,
+  value) slots (padding slots carry ``val = 0``), so for the typical row the
+  SpMM result needs NO reduction indirection at all — profiling showed that
+  gathers from large arrays run far below the gather engine's peak, so the
+  per-row combine gather of a classic split-ELL dominated everything;
+* rows with more than ``R`` nonzeros place their remaining *extra* chunks
+  after the identity region; the extras are reduced by a logarithmic chain
+  of arity-8 combine tables over the HEAVY rows only, and a final small
+  per-row gather adds each heavy row's settled extras sum onto its identity
+  partial (light rows read an appended zero row);
 * the whole SpMM is gather + multiply + reduce — no scatter, no
   data-dependent shapes; everything fuses under XLA.
 
@@ -38,17 +40,20 @@ class EllMat:
     Array fields (optionally with a leading ``q`` stacking axis):
 
     * ``idx``: int32 (V, R) — column index per slot; padding slots point at
-      column 0 but carry zero value.
+      column 0 but carry zero value. Virtual rows [0, n_rows) are the
+      identity region (row r's first chunk); rows [n_rows, n_rows + E_pad)
+      hold the extra chunks of heavy rows, consecutively per row.
     * ``val``: (V, R) — slot values; 0 in padding slots.
-    * ``combine``: tuple of int32 tables — the segmented reduction chain.
-      Stage s gathers rows of the previous stage's partial (padded with one
-      trailing zero row) and sums groups of up to :data:`COMBINE_ARITY`;
-      table entries equal to the previous stage's padded row count select the
-      zero row. The final table has shape (n_rows, 1) and maps every output
-      row to its single remaining partial (or the zero row for empty rows).
+    * ``combine``: tuple of int32 tables — the extras reduction chain.
+      Stage s gathers rows of the previous stage's output (stage 0 = the
+      extras region, zero-extended by one row) and sums groups of up to
+      :data:`COMBINE_ARITY`, covering only rows still holding > 1 chunks.
+      The final table has shape (n_rows, 1) and indexes the CONCATENATION of
+      all stage outputs (+ one zero row): each heavy row's settled extras
+      sum, or the zero row for rows without extras.
 
-    ``stage_inputs`` records each stage's input row count (static), i.e. the
-    zero-row index used by that stage's padding entries.
+    ``stage_inputs`` records each stage's input row count (static):
+    ``stage_inputs[0]`` is E_pad, the padded extras count.
     """
 
     idx: np.ndarray
@@ -76,17 +81,22 @@ def _round_up(x: int, m: int) -> int:
 
 
 def choose_slot_count(nnz_per_row: np.ndarray, max_r: int = 512) -> int:
-    """Pick the per-virtual-row slot count R minimizing total padded slots
-    ``sum_rows ceil(nnz/R) * R`` over multiples of 8. Robust to the bimodal
-    degree distributions of arrow head panels (a few very heavy rows + many
-    light ones), where any quantile heuristic over-pads."""
-    nz = nnz_per_row[nnz_per_row > 0]
-    if nz.size == 0:
+    """Pick the per-virtual-row slot count R minimizing total slots in the
+    first-chunk-identity layout: every row pays R identity slots; rows with
+    more than R nonzeros add ``ceil((nnz - R)/R) * R`` extra slots (gathered
+    rows == slots, and the gather engine is the bottleneck)."""
+    nnz_per_row = np.asarray(nnz_per_row, dtype=np.int64)
+    n_rows = max(1, nnz_per_row.size)
+    mx = int(nnz_per_row.max(initial=0))
+    if mx == 0:
         return 8
-    best_r, best_cost = 8, None
-    cap = min(max_r, _round_up(int(nz.max()), 8))
+    # Multiples of 8 only: narrower slot rows save gathers but destroy the
+    # FMA-reduce vectorization and blow up the extras chain (profiled).
+    cap = min(max_r, _round_up(mx, 8))
+    best_r, best_cost = None, None
     for r in range(8, cap + 8, 8):
-        cost = int((-(-nz // r) * r).sum())
+        extra = np.maximum(nnz_per_row - r, 0)
+        cost = n_rows * r + int((-(-extra // r) * r).sum())
         if best_cost is None or cost < best_cost:
             best_r, best_cost = r, cost
     return best_r
@@ -98,10 +108,15 @@ def _combine_chain(
     """Build the arity-8 segmented-reduction chain for per-row virtual-row
     counts ``splits`` whose rows occupy consecutive ranges.
 
-    :param v_pad: padded input row count of stage 0 (also its zero-row index).
-    :param n_stages: number of intermediate stages to emit (excluding the
-        final (n_rows, 1) table); stages beyond what's needed are identity
-        groups of one.
+    Stage s only covers rows whose count is still > 1 — rows finished earlier
+    keep their single partial in that stage's output and the FINAL table
+    gathers from the concatenation of ALL stage outputs (plus one zero row).
+    This keeps every stage proportional to the *heavy* rows only; unsplit
+    rows (the vast majority) cost exactly one final-gather row.
+
+    :param v_pad: padded row count of the stage-0 partial.
+    :param n_stages: number of intermediate stages (excluding the final
+        (n_rows, 1) table).
     :param stage_pads: optional padded output row count per intermediate
         stage (for stacking); defaults to the natural sizes.
     :return: (tables, stage_inputs) — see :class:`EllMat`.
@@ -109,39 +124,52 @@ def _combine_chain(
     tables = []
     stage_inputs = []
     counts = splits.astype(np.int64)
+    # Per-row start inside the current stage's output (stage 0 = partial).
     base = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    # Stage in which each row's value settles, and its index there.
+    settle_stage = np.zeros(n_rows, dtype=np.int64)
+    settle_base = base.copy()
+    stage_sizes = [v_pad]
     cur_pad = v_pad
 
     for s in range(n_stages):
-        new_counts = -(-counts // COMBINE_ARITY)
+        active = counts > 1
+        new_counts = np.where(active, -(-counts // COMBINE_ARITY), 0)
         new_base = np.concatenate(([0], np.cumsum(new_counts)))[:-1]
         v_out = int(new_counts.sum())
-        v_out_pad = stage_pads[s] if stage_pads is not None else v_out
+        v_out_pad = stage_pads[s] if stage_pads is not None else max(v_out, 1)
+        v_out_pad = max(v_out_pad, 1)
         assert v_out_pad >= v_out
-        table = np.full((max(v_out_pad, 1), COMBINE_ARITY), cur_pad, dtype=np.int32)
+        table = np.full((v_out_pad, COMBINE_ARITY), cur_pad, dtype=np.int32)
         if v_out:
-            # Output row new_base[r] + j sums input rows
-            # base[r] + ARITY*j ... + min(ARITY*(j+1), counts[r]) - 1.
             r_of_out = np.repeat(np.arange(n_rows), new_counts)
             j_of_out = np.arange(v_out) - np.repeat(new_base, new_counts)
             start = base[r_of_out] + COMBINE_ARITY * j_of_out
             remaining = counts[r_of_out] - COMBINE_ARITY * j_of_out
-            width = np.minimum(COMBINE_ARITY, remaining)
             cols = np.arange(COMBINE_ARITY)[None, :]
             vals = start[:, None] + cols
-            mask = cols < width[:, None]
-            block = np.where(mask, vals, cur_pad).astype(np.int32)
-            table[:v_out] = block
+            mask = cols < np.minimum(COMBINE_ARITY, remaining)[:, None]
+            table[:v_out] = np.where(mask, vals, cur_pad).astype(np.int32)
         tables.append(table)
         stage_inputs.append(cur_pad)
-        counts, base, cur_pad = new_counts, new_base, max(v_out_pad, 1)
+        stage_sizes.append(v_out_pad)
+        # Rows reduced in this stage settle here (until reduced again).
+        settle_stage[active] = s + 1
+        settle_base[active] = new_base[active]
+        counts = np.where(active, new_counts, counts)
+        base = np.where(active, new_base, base)
+        cur_pad = v_out_pad
 
-    # Final stage: one entry per output row.
-    final = np.full((max(n_rows, 1), 1), cur_pad, dtype=np.int32)
-    has = counts > 0
-    final[: n_rows][has[:, None]] = base[has].astype(np.int32)
+    # Final: gather from the concatenation of all stage outputs + zero row.
+    offsets = np.concatenate(([0], np.cumsum(stage_sizes)))
+    zero_row = int(offsets[-1])
+    final = np.full((max(n_rows, 1), 1), zero_row, dtype=np.int32)
+    has = splits > 0
+    final[:n_rows, 0][has] = (offsets[settle_stage] + settle_base)[has].astype(
+        np.int32
+    )
     tables.append(final)
-    stage_inputs.append(cur_pad)
+    stage_inputs.append(zero_row)
     return tuple(tables), tuple(stage_inputs)
 
 
@@ -161,6 +189,7 @@ def ell_from_csr(
     n_stages: int | None = None,
     v_pad: int | None = None,
     stage_pads: list | None = None,
+    trivial_combine: bool | None = None,
 ) -> EllMat:
     """Convert a scipy CSR matrix into :class:`EllMat`.
 
@@ -175,11 +204,12 @@ def ell_from_csr(
     nnz_per_row = np.diff(A.indptr).astype(np.int64)
 
     R = slots_per_row or choose_slot_count(nnz_per_row)
-    splits = -(-nnz_per_row // R)  # 0 for empty rows
-    base = np.concatenate(([0], np.cumsum(splits)))[:-1]
-    V = int(splits.sum())
-    V_pad = v_pad if v_pad is not None else max(_round_up(max(V, 1), 8), 8)
-    assert V_pad >= V
+    n_extras = np.maximum(-(-nnz_per_row // R) - 1, 0)  # extra chunks per row
+    ebase = np.concatenate(([0], np.cumsum(n_extras)))[:-1]
+    E = int(n_extras.sum())
+    E_pad = v_pad if v_pad is not None else max(_round_up(max(E, 1), 8), 8)
+    assert E_pad >= E
+    V_pad = n_rows + E_pad
 
     idx = np.zeros((V_pad, R), dtype=np.int32)
     val = np.zeros((V_pad, R), dtype=dtype)
@@ -188,13 +218,27 @@ def ell_from_csr(
             A.indptr[:-1], nnz_per_row
         )
         rows = np.repeat(np.arange(n_rows, dtype=np.int64), nnz_per_row)
-        vr = base[rows] + j_within // R
+        chunk = j_within // R
+        # Chunk 0 sits at virtual row r (identity); chunk j >= 1 at
+        # n_rows + ebase[r] + j - 1.
+        vr = np.where(chunk == 0, rows, n_rows + ebase[rows] + chunk - 1)
         slot = j_within % R
         idx[vr, slot] = A.indices
         val[vr, slot] = A.data.astype(dtype)
 
-    stages = n_stages if n_stages is not None else _stages_needed(int(splits.max(initial=0)))
-    combine, stage_inputs = _combine_chain(splits, n_rows, V_pad, stages, stage_pads)
+    stages = (
+        n_stages
+        if n_stages is not None
+        else _stages_needed(int(n_extras.max(initial=0)))
+    )
+    if E == 0 and trivial_combine is not False:
+        # Statically no extras: the identity region is the whole answer.
+        combine = (np.zeros((1, 1), dtype=np.int32),)
+        stage_inputs = (0,)
+    else:
+        combine, stage_inputs = _combine_chain(
+            n_extras, n_rows, E_pad, stages, stage_pads
+        )
 
     return EllMat(
         idx=idx,
@@ -219,20 +263,25 @@ def stack_ells_from_csr(
     )
     R = slots_per_row or choose_slot_count(all_nnz)
 
-    per_block = []
+    per_block = []  # extras per row, per block
     for b in blocks:
         nnz = np.diff(b.tocsr().indptr).astype(np.int64)
-        per_block.append(-(-nnz // R))
+        per_block.append(np.maximum(-(-nnz // R) - 1, 0))
     v_pad = max(max(_round_up(max(int(s.sum()), 1), 8), 8) for s in per_block)
     n_stages = max(_stages_needed(int(s.max(initial=0))) for s in per_block)
 
-    # Common padded output size for every intermediate stage.
+    # Common padded output size for every intermediate stage (active-row
+    # rule: only rows with count > 1 occupy a stage).
     stage_pads = []
     counts = [s.copy() for s in per_block]
     for _ in range(n_stages):
-        counts = [-(-c // COMBINE_ARITY) for c in counts]
+        counts = [
+            np.where(c > 1, -(-c // COMBINE_ARITY), 0) for c in counts
+        ]
         stage_pads.append(max(max(int(c.sum()), 1) for c in counts))
+        counts = [np.maximum(c, 1 * (c0 > 0)) for c, c0 in zip(counts, per_block)]
 
+    total_extras = sum(int(s_.sum()) for s_ in per_block)
     mats = [
         ell_from_csr(
             b,
@@ -241,6 +290,7 @@ def stack_ells_from_csr(
             n_stages=n_stages,
             v_pad=v_pad,
             stage_pads=stage_pads,
+            trivial_combine=(True if total_extras == 0 else False),
         )
         for b in blocks
     ]

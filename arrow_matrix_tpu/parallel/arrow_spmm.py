@@ -71,7 +71,10 @@ def _local(m: EllMat) -> EllMat:
 
 def _route_local(rt: RouteTables) -> RouteTables:
     return rt.replace(
-        send_idx=rt.send_idx[0], recv_idx=rt.recv_idx[0], local_map=rt.local_map[0]
+        send_idx=rt.send_idx[0],
+        recv_idx=rt.recv_idx[0],
+        fwd_gather=rt.fwd_gather[0],
+        bwd_gather=rt.bwd_gather[0],
     )
 
 
@@ -114,18 +117,20 @@ def _level_spmm(lvl: LevelPlan, x: jnp.ndarray, width: int) -> jnp.ndarray:
 
 def _route_forward(rt: RouteTables, x: jnp.ndarray) -> jnp.ndarray:
     """Re-shard features from level-0 order into a level's order
-    (reference: arrow_dec_mpi.py:507-610 ``_propagate_features_forwards``)."""
-    width = rt.width
+    (reference: arrow_dec_mpi.py:507-610 ``_propagate_features_forwards``).
+
+    Gather-only: received slots and local rows are assembled through the
+    precomputed inverse table ``fwd_gather`` — no scatter (TPU scatters
+    serialize and dominate the step)."""
+    k = x.shape[1]
     xp = _zero_pad_rows(x)  # (w+1, k)
     send = jnp.take(xp, rt.send_idx, axis=0)  # (q, M, k)
     recv = lax.all_to_all(send, AXIS, 0, 0)  # recv[s] = from device s
-    out = jnp.take(xp, rt.local_map, axis=0)  # locally-sourced rows (w, k)
-    buf = _zero_pad_rows(out)
-    k = x.shape[1]
-    buf = buf.at[rt.recv_idx.reshape(-1)].set(
-        recv.reshape(-1, k), mode="promise_in_bounds"
-    )
-    return buf[:width]
+    buf = jnp.concatenate(
+        [x, recv.reshape(-1, k), jnp.zeros((1, k), x.dtype)], axis=0
+    )  # [local ; received ; zero]
+    (buf,) = lax.optimization_barrier((buf,))
+    return jnp.take(buf, rt.fwd_gather, axis=0)
 
 
 def _route_backward_add(
@@ -135,17 +140,16 @@ def _route_backward_add(
     ``C_0 += route^{-1}(C_i)`` (reference: arrow_dec_mpi.py:404-505
     ``_aggregate_features_backwards``). The inverse routing reuses the
     forward tables with send/receive roles swapped."""
-    width = rt.width
     k = c_level.shape[1]
     cp = _zero_pad_rows(c_level)
     send_back = jnp.take(cp, rt.recv_idx, axis=0)  # (q, M, k) to each source
     recv_back = lax.all_to_all(send_back, AXIS, 0, 0)
-    acc = _zero_pad_rows(c_accum)
-    acc = acc.at[rt.send_idx.reshape(-1)].add(
-        recv_back.reshape(-1, k), mode="promise_in_bounds"
-    )
-    acc = acc.at[rt.local_map].add(cp[:width], mode="promise_in_bounds")
-    return acc[:width]
+    buf = jnp.concatenate(
+        [c_level, recv_back.reshape(-1, k), jnp.zeros((1, k), c_level.dtype)],
+        axis=0,
+    )  # [level-local partials ; received partials ; zero]
+    (buf,) = lax.optimization_barrier((buf,))
+    return c_accum + jnp.take(buf, rt.bwd_gather, axis=0)
 
 
 class ArrowSpmm:

@@ -1,73 +1,168 @@
-"""Single-device execution of an :class:`ArrowPlan` (no collectives).
+"""Single-device execution of an arrow decomposition (no collectives).
 
-The distributed step in ``arrow_spmm.py`` is the production path; this module
-runs the same compiled plan on ONE chip: block-stacked ELL SpMMs via ``vmap``,
-head reduction as a plain sum, inter-level routing as local gathers. Used for
-the single-chip benchmark and as the flagship jittable forward step
-(the reference's 1-rank fast paths: arrow/arrow_dec_mpi.py:446-458,
-arrow/arrow_slim_mpi.py with comm size 1).
+The distributed step in ``arrow_spmm.py`` partitions every level into
+per-device blocks; on ONE chip that partitioning is pure overhead, so the
+local plan merges each level back into a single truncated matrix and the step
+becomes: route features into level order (gather), one SpMM per level
+(ELL gather kernel or BSR Pallas kernel, chosen by the plan's cost model),
+scatter-add the partials back — mirroring the reference's single-rank fast
+paths (reference: arrow/arrow_dec_mpi.py:446-458, 1-rank ArrowSlimMPI).
 """
 
 from __future__ import annotations
 
+from typing import Optional, Union
+
+import numpy as np
+from scipy import sparse
+
 import jax
 import jax.numpy as jnp
+from flax import struct
 
+from arrow_matrix_tpu.ops.bsr_pallas import BsrMat, bsr_from_csr, bsr_spmm, preferred_format
 from arrow_matrix_tpu.ops.ell import ell_spmm
-from arrow_matrix_tpu.ops.formats import EllMat
-from arrow_matrix_tpu.plan.compile import ArrowPlan, LevelPlan
+from arrow_matrix_tpu.ops.formats import EllMat, ell_from_csr
 
 
-def _vmapped_spmm(stacked: EllMat, x_blocks: jnp.ndarray) -> jnp.ndarray:
-    """Apply a (q, ...)-stacked EllMat to (q, w, k) feature blocks."""
+@struct.dataclass
+class LocalLevel:
+    mat: Union[EllMat, BsrMat]
+    # Truncated destination->source map (cut,) into the padded feature rows;
+    # None for level 0 (identity on [0, cut)).
+    dst_to_src: Optional[jnp.ndarray]
+    # Inverse map (padded_rows,): the level position holding each level-0
+    # row's contribution, or ``cut`` (a zero row) when unrouted. The merge is
+    # a gather through this table — TPU scatters serialize.
+    src_to_dst: Optional[jnp.ndarray]
+    cut: int = struct.field(pytree_node=False)
+    fmt: str = struct.field(pytree_node=False)  # 'ell' | 'bsr'
 
-    def one(idx, val, comb, xb):
-        m = EllMat(
-            idx=idx,
-            val=val,
-            combine=comb,
-            n_rows=stacked.n_rows,
-            n_cols=stacked.n_cols,
-            stage_inputs=stacked.stage_inputs,
+
+@struct.dataclass
+class LocalArrowPlan:
+    levels: tuple
+    width: int = struct.field(pytree_node=False)
+    n_rows: int = struct.field(pytree_node=False)
+    padded_rows: int = struct.field(pytree_node=False)
+    permutations: tuple = ()
+
+
+def compile_local_plan(
+    decomposition,
+    width: int,
+    n_blocks: int | None = None,
+    k_hint: int = 16,
+    slots_per_row: int | None = None,
+    force_format: str | None = None,
+    block_diagonal: bool = True,
+) -> LocalArrowPlan:
+    """Compile a decomposition for single-chip execution.
+
+    Each level is one truncated (cut x cut) sparse matrix in its own
+    permuted order plus a routing gather from level-0 order; ``cut`` is the
+    level's nonzero-block coverage rounded to the arrow width (the
+    reference's zero-block truncation, arrow_dec_mpi.py:728-731).
+    """
+    from arrow_matrix_tpu.plan.compile import (
+        localize_level_rows,
+        number_of_blocks,
+        pad_permutation,
+    )
+
+    mats = [sparse.csr_matrix(d[0], dtype=np.float32) for d in decomposition]
+    perms = [np.asarray(d[1], dtype=np.int64) for d in decomposition]
+    n = mats[0].shape[0]
+    q = n_blocks or max(1, -(-n // width))
+    n_pad = q * width
+
+    padded_perms = [pad_permutation(p, n_pad) for p in perms]
+    inv_perm0 = np.argsort(padded_perms[0])
+
+    levels = []
+    for i, B in enumerate(mats):
+        if B.shape[0] < n_pad:
+            B = sparse.csr_matrix(
+                (B.data, B.indices, np.pad(B.indptr, (0, n_pad - B.shape[0]), mode="edge")),
+                shape=(n_pad, n_pad),
+            )
+        if i > 0 and block_diagonal:
+            B, padded_perms[i] = localize_level_rows(
+                B, padded_perms[i], inv_perm0, width
+            )
+        q_i = min(number_of_blocks(B, width), q)
+        cut = q_i * width
+        Bt = B[:cut, :cut].tocsr()
+        if Bt.nnz != B.nnz:
+            raise ValueError(
+                f"level {i}: {B.nnz - Bt.nnz} nonzeros outside the truncated "
+                f"{q_i}-block square; decomposition inconsistent with width {width}"
+            )
+        fmt = force_format or preferred_format(Bt, k_hint)
+        if fmt == "bsr":
+            mat = bsr_from_csr(Bt)
+        else:
+            mat = ell_from_csr(Bt, slots_per_row)
+        dst_to_src = None
+        src_to_dst = None
+        if i > 0:
+            d2s = inv_perm0[padded_perms[i][:cut]].astype(np.int64)
+            s2d = np.full(n_pad, cut, dtype=np.int32)  # cut == zero row
+            s2d[d2s] = np.arange(cut, dtype=np.int32)
+            dst_to_src = jnp.asarray(d2s.astype(np.int32))
+            src_to_dst = jnp.asarray(s2d)
+        levels.append(
+            LocalLevel(
+                mat=mat,
+                dst_to_src=dst_to_src,
+                src_to_dst=src_to_dst,
+                cut=cut,
+                fmt=fmt,
+            )
         )
-        return ell_spmm(m, xb)
 
-    return jax.vmap(one)(stacked.idx, stacked.val, stacked.combine, x_blocks)
-
-
-def _level_spmm_local(lvl: LevelPlan, x_blocks: jnp.ndarray, width: int) -> jnp.ndarray:
-    """(q, w, k) level-ordered feature blocks -> (q, w, k) result blocks."""
-    q = x_blocks.shape[0]
-    head_partials = _vmapped_spmm(lvl.head, x_blocks)  # (q, w, k)
-    c0 = head_partials.sum(axis=0)  # == Reduce(C_0)
-    x0 = jnp.broadcast_to(x_blocks[0], x_blocks.shape)  # == Bcast(X_0)
-    cj = _vmapped_spmm(lvl.diag, x_blocks) + _vmapped_spmm(lvl.col, x0)
-    if lvl.band_lo is not None:
-        zero = jnp.zeros_like(x_blocks[:1])
-        x_lo = jnp.concatenate([zero, x_blocks[:-1]], axis=0)
-        x_hi = jnp.concatenate([x_blocks[1:], zero], axis=0)
-        cj = cj + _vmapped_spmm(lvl.band_lo, x_lo)
-        cj = cj + _vmapped_spmm(lvl.band_hi, x_hi)
-    return jnp.concatenate([c0[None], cj[1:]], axis=0)
+    return LocalArrowPlan(
+        levels=tuple(levels),
+        width=width,
+        n_rows=n,
+        padded_rows=n_pad,
+        permutations=tuple(padded_perms),
+    )
 
 
-def local_step(plan: ArrowPlan, x: jnp.ndarray) -> jnp.ndarray:
+def _apply(lvl: LocalLevel, x_lvl: jnp.ndarray) -> jnp.ndarray:
+    if lvl.fmt == "bsr":
+        m: BsrMat = lvl.mat
+        pad = m.n_col_tiles * m.tile_n - x_lvl.shape[0]
+        if pad > 0:
+            x_lvl = jnp.concatenate(
+                [x_lvl, jnp.zeros((pad, x_lvl.shape[1]), x_lvl.dtype)], axis=0
+            )
+        return bsr_spmm(m, x_lvl)[: lvl.cut].astype(x_lvl.dtype)
+    return ell_spmm(lvl.mat, x_lvl)
+
+
+def local_step(plan: LocalArrowPlan, x: jnp.ndarray) -> jnp.ndarray:
     """One iteration ``X <- A X`` on a single device.
 
     :param x: (padded_rows, k) features in level-0 permuted order.
     """
-    q, w = plan.n_blocks, plan.width
     k = x.shape[1]
-    x_blocks = x.reshape(q, w, k)
-
-    c = _level_spmm_local(plan.levels[0], x_blocks, w).reshape(q * w, k)
+    lvl0 = plan.levels[0]
+    c0 = _apply(lvl0, x[: lvl0.cut])
+    pad0 = plan.padded_rows - lvl0.cut
+    c = (
+        jnp.concatenate([c0, jnp.zeros((pad0, k), x.dtype)], axis=0)
+        if pad0
+        else c0
+    )
     for lvl in plan.levels[1:]:
-        rt = lvl.route
-        cut = rt.cut
-        # Forward: gather rows into the level's order (truncated to cut).
-        src = rt.dst_to_src[:cut]
-        x_lvl = jnp.zeros((q * w, k), dtype=x.dtype).at[:cut].set(x[src])
-        c_lvl = _level_spmm_local(lvl, x_lvl.reshape(q, w, k), w).reshape(q * w, k)
-        # Backward: scatter-add the level's partial result back.
-        c = c.at[src].add(c_lvl[:cut])
+        x_lvl = jnp.take(x, lvl.dst_to_src, axis=0)
+        c_lvl = _apply(lvl, x_lvl)
+        # Gather-based merge: level position of each level-0 row (or the
+        # appended zero row for unrouted rows). The barrier materializes the
+        # concat so the gather reads a plain contiguous source (profiled).
+        c_pad = jnp.concatenate([c_lvl, jnp.zeros((1, k), x.dtype)], axis=0)
+        (c_pad,) = jax.lax.optimization_barrier((c_pad,))
+        c = c + jnp.take(c_pad, lvl.src_to_dst, axis=0)
     return c

@@ -34,8 +34,7 @@ def main():
 
     from arrow_matrix_tpu.decomposition import arrow_decomposition
     from arrow_matrix_tpu.io.generate import barabasi_albert
-    from arrow_matrix_tpu.parallel.local import local_step
-    from arrow_matrix_tpu.plan import compile_plan
+    from arrow_matrix_tpu.parallel.local import compile_local_plan, local_step
 
     rng = np.random.default_rng(0)
     A = barabasi_albert(args.vertices, args.ba_neighbors, seed=1)
@@ -46,7 +45,7 @@ def main():
         block_diagonal=True,
         seed=2,
     )
-    plan = compile_plan(decomp, args.width, args.blocks)
+    plan = compile_local_plan(decomp, args.width, k_hint=args.features)
     nnz = sum(int(lvl.matrix.nnz) for lvl in decomp)
 
     x0 = rng.random((plan.padded_rows, args.features), dtype=np.float32)

@@ -8,25 +8,31 @@ from arrow_matrix_tpu.plan.routing import build_route_tables, routed_rows_per_pa
 
 
 def _simulate_route(rt, x_blocks):
-    """Host-side simulation of forward routing: returns destination blocks."""
+    """Host-side simulation of the gather-only forward routing, mirroring
+    the runtime assembly: send gathers + all_to_all + fwd_gather."""
     q, w = len(x_blocks), rt.width
     k = x_blocks[0].shape[1]
     M = rt.max_per_pair
     send = np.asarray(rt.send_idx)
-    recv = np.asarray(rt.recv_idx)
-    local = np.asarray(rt.local_map)
-    out = [np.zeros((w, k), dtype=x_blocks[0].dtype) for _ in range(q)]
-    for d in range(q):
-        xp = np.vstack([x_blocks[d], np.zeros((1, k), dtype=x_blocks[0].dtype)])
-        out[d] = xp[local[d]]
+    recv_idx = np.asarray(rt.recv_idx)
+    fwd = np.asarray(rt.fwd_gather)
+    # Send phase: device s builds (q, M, k) from its zero-extended x.
+    sendbufs = []
     for s in range(q):
         xp = np.vstack([x_blocks[s], np.zeros((1, k), dtype=x_blocks[0].dtype)])
+        sendbufs.append(xp[send[s]])
         for d in range(q):
             for m in range(M):
-                sr, dr = send[s, d, m], recv[d, s, m]
-                assert (sr == w) == (dr == w), "send/recv padding must agree"
-                if sr != w:
-                    out[d][dr] = x_blocks[s][sr]
+                assert (send[s, d, m] == w) == (recv_idx[d, s, m] == w), (
+                    "send/recv padding must agree"
+                )
+    out = []
+    for d in range(q):
+        recv = np.stack([sendbufs[s][d] for s in range(q)])  # all_to_all
+        buf = np.vstack(
+            [x_blocks[d], recv.reshape(-1, k), np.zeros((1, k), x_blocks[0].dtype)]
+        )
+        out.append(buf[fwd[d]])
     return out
 
 
