@@ -1,0 +1,168 @@
+"""High-level session API mirroring the reference's runtime surface.
+
+A user of the reference drives the computation through
+``ArrowDecompositionMPI`` + ``ArrowMatrix`` methods (``initialize``,
+``load_decomposition_new``, ``zero_rhs``, ``set_features``, ``step``,
+``allgather_result`` — reference: arrow/arrow_dec_mpi.py:106-307,
+arrow/arrow_matrix.py:12-111). :class:`ArrowSession` offers the same verbs on
+top of the TPU plan compiler and runners, so reference users can migrate
+call-for-call:
+
+==========================================  ====================================
+reference (MPI)                             arrow_matrix_tpu
+==========================================  ====================================
+``load_decomposition_new(comm, path, w)``   ``ArrowSession.from_path(path, w)``
+``ArrowDecompositionMPI.initialize(...)``   ``ArrowSession(decomposition, w)``
+``arrow.B.zero_rhs(rows, k)``               ``session.zero_rhs(k)``
+``arrow.B.set_features(X)``                 ``session.set_features(X)``
+``arrow.step()``                            ``session.step()``
+``arrow.B.allgather_result(C)``             ``session.allgather_result()``
+fat layout (2q-1 ranks, banded)             ``block_diagonal=False`` (banded
+                                            ppermute halo; the row/column rank
+                                            split is an MPI memory artifact —
+                                            on TPU one device per block row
+                                            holds all three panels in HBM)
+==========================================  ====================================
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from arrow_matrix_tpu.io import graphio
+from arrow_matrix_tpu.parallel.arrow_spmm import ArrowSpmm, block_mesh
+from arrow_matrix_tpu.parallel.local import compile_local_plan, local_step
+from arrow_matrix_tpu.plan import compile_plan
+
+
+class ArrowSession:
+    """Iterated arrow SpMM session on however many devices are available.
+
+    ``n_devices > 1`` uses the shard_map runner over a block mesh;
+    ``n_devices == 1`` uses the merged single-chip plan.
+    """
+
+    def __init__(
+        self,
+        decomposition,
+        width: int,
+        n_devices: Optional[int] = None,
+        block_diagonal: bool = True,
+        features: int = 16,
+    ):
+        self.width = width
+        self.n_devices = n_devices or len(jax.devices())
+        self.block_diagonal = block_diagonal
+        self._x = None
+        self.iteration = 0
+        if self.n_devices > 1:
+            self.plan = compile_plan(
+                decomposition, width, self.n_devices, block_diagonal=block_diagonal
+            )
+            self._runner = ArrowSpmm(self.plan, block_mesh(self.n_devices))
+            self._step = self._runner.step
+        else:
+            self.plan = compile_local_plan(
+                decomposition,
+                width,
+                k_hint=features,
+                block_diagonal=block_diagonal,
+            )
+            self._device_plan = jax.device_put(self.plan)
+            jitted = jax.jit(local_step)
+            self._step = lambda x: jitted(self._device_plan, x)
+
+    @classmethod
+    def from_path(
+        cls,
+        path: str,
+        width: int,
+        n_devices: Optional[int] = None,
+        block_diagonal: bool = True,
+        use_npy: bool = True,
+        use_mmap: bool = False,
+        **kw,
+    ) -> "ArrowSession":
+        """Load a decomposition from disk (graphio naming scheme) and build a
+        session — the reference's ``load_decomposition_new`` + ``initialize``
+        (reference: arrow_dec_mpi.py:629-887,106-177)."""
+        loader = (
+            graphio.load_decomposition_new if use_npy else graphio.load_decomposition
+        )
+        kwargs = {"mem_map": use_mmap} if use_npy else {}
+        decomposition = loader(path, width, block_diagonal=block_diagonal, **kwargs)
+        if not decomposition:
+            raise FileNotFoundError(f"decomposition '{path}' width {width} not found")
+        return cls(
+            decomposition, width, n_devices, block_diagonal=block_diagonal, **kw
+        )
+
+    # ----------------------------------------------------------- features
+
+    @property
+    def n_rows(self) -> int:
+        return self.plan.n_rows
+
+    def zero_rhs(self, n_columns: int, dtype=np.float32) -> None:
+        """Initialize the feature buffers (reference:
+        arrow_slim_mpi.py:354-394)."""
+        self.set_features(np.zeros((self.plan.n_rows, n_columns), dtype=dtype))
+
+    def set_features(self, X: np.ndarray) -> None:
+        """Load features in ORIGINAL row order (the reference distributes
+        X slices to matrix-0 column ranks)."""
+        if self.n_devices > 1:
+            self._x = self._runner.distribute(np.asarray(X, dtype=np.float32))
+        else:
+            n_pad = self.plan.padded_rows
+            Xp = np.zeros((n_pad, X.shape[1]), dtype=np.float32)
+            Xp[: X.shape[0]] = X
+            perm0 = np.asarray(self.plan.permutations[0])
+            self._x = jax.device_put(jnp.asarray(Xp[perm0]))
+
+    def step(self) -> None:
+        """One iteration X <- A X (reference: arrow_dec_mpi.py:283-307)."""
+        assert self._x is not None, "call set_features/zero_rhs first"
+        self._x = self._step(self._x)
+        self.iteration += 1
+
+    def run(self, iterations: int) -> None:
+        for _ in range(iterations):
+            self.step()
+
+    def allgather_result(self) -> np.ndarray:
+        """Materialize the current features in original row order
+        (reference: arrow_slim_mpi.py:415-425)."""
+        assert self._x is not None
+        if self.n_devices > 1:
+            return self._runner.collect(self._x)
+        inv = np.argsort(np.asarray(self.plan.permutations[0]))
+        return np.asarray(jax.device_get(self._x))[inv][: self.plan.n_rows]
+
+    # Aliases matching the reference's shorter names.
+    result_tile = allgather_result
+
+    # ----------------------------------------------------------- checkpoint
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the iterated state (features + iteration counter). The
+        reference has no runtime checkpointing (SURVEY §5.4) — this is an
+        extension; the decomposition itself is already on disk via graphio."""
+        np.savez(
+            path,
+            features=self.allgather_result(),
+            iteration=self.iteration,
+            width=self.width,
+            block_diagonal=self.block_diagonal,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+        assert int(data["width"]) == self.width, "checkpoint width mismatch"
+        self.set_features(data["features"])
+        self.iteration = int(data["iteration"])

@@ -1,0 +1,68 @@
+"""Profiling and multi-host helpers.
+
+Tracing parity (SURVEY §5.1): the reference wraps every comm/kernel phase in
+``time.perf_counter`` spans. Under XLA one jit step fuses all phases, so
+fine-grained attribution comes from device traces instead:
+
+    with profiling.trace("/tmp/trace"):
+        x = runner.step(x)
+        profiling.sync(x)
+
+and :func:`summarize_trace` aggregates per-op device time from the written
+trace — the tooling used to drive this framework's own optimization.
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+from contextlib import contextmanager
+
+import numpy as np
+
+import jax
+
+
+def sync(arr) -> None:
+    """Reliable device fence: transfer one element.
+
+    ``jax.block_until_ready`` can return before execution finishes on
+    relayed/experimental PJRT backends; a device->host transfer of (a slice
+    of) the result is always ordered after the computation."""
+    np.asarray(jax.device_get(arr if np.ndim(arr) == 0 else arr.ravel()[:1]))
+
+
+@contextmanager
+def trace(path: str):
+    with jax.profiler.trace(path):
+        yield
+
+
+def summarize_trace(path: str, top: int = 20, iters: int = 1):
+    """Aggregate per-op device durations from the newest trace under
+    ``path``; returns [(name, total_ms / iters, count)]."""
+    files = sorted(glob.glob(f"{path}/plugins/profile/*/*.trace.json.gz"))
+    if not files:
+        return []
+    data = json.load(gzip.open(files[-1]))
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for e in data.get("traceEvents", []):
+        if e.get("ph") == "X" and "dur" in e and not e["name"].startswith("$"):
+            agg[e["name"]] += e["dur"]
+            cnt[e["name"]] += 1
+    return [
+        (name, dur / 1e3 / iters, cnt[name]) for name, dur in agg.most_common(top)
+    ]
+
+
+def initialize_multihost(**kwargs) -> None:
+    """Initialize multi-host JAX (DCN) — call once per process before any
+    computation. Thin wrapper over ``jax.distributed.initialize`` so drivers
+    stay backend-agnostic; the reference's equivalent is MPI launch
+    (``mpiexec``) with Cray-MPICH (reference: README.md:10). On a multi-host
+    TPU pod slice the block mesh simply spans all processes' devices and the
+    same collectives ride ICI within a slice and DCN across slices."""
+    jax.distributed.initialize(**kwargs)
