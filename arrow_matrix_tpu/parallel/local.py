@@ -56,13 +56,21 @@ def compile_local_plan(
     slots_per_row: int | None = None,
     force_format: str | None = None,
     block_diagonal: bool = True,
+    merge_levels: bool = True,
 ) -> LocalArrowPlan:
     """Compile a decomposition for single-chip execution.
 
-    Each level is one truncated (cut x cut) sparse matrix in its own
-    permuted order plus a routing gather from level-0 order; ``cut`` is the
-    level's nonzero-block coverage rounded to the arrow width (the
-    reference's zero-block truncation, arrow_dec_mpi.py:728-731).
+    With ``merge_levels`` (default): the permutations and level structure
+    exist only to bound COMMUNICATION, and a single chip has none — so all
+    levels are summed into ONE matrix in level-0 order
+    (``sum_i P_rel_i^T B_i P_rel_i = P_0 A P_0^T``), keeping the level-0
+    linearization's locality for the gather engine, with no routing at all.
+
+    With ``merge_levels=False``: each level is one truncated (cut x cut)
+    matrix in its own permuted order plus routing gathers — the faithful
+    mirror of the distributed execution, useful for validating plan
+    semantics (``cut`` is the reference's zero-block truncation,
+    arrow_dec_mpi.py:728-731).
     """
     from arrow_matrix_tpu.plan.compile import (
         localize_level_rows,
@@ -78,6 +86,38 @@ def compile_local_plan(
 
     padded_perms = [pad_permutation(p, n_pad) for p in perms]
     inv_perm0 = np.argsort(padded_perms[0])
+
+    if merge_levels:
+        rows, cols, vals = [], [], []
+        for i, B in enumerate(mats):
+            coo = B.tocoo()
+            g = inv_perm0[padded_perms[i][: B.shape[0]]]
+            rows.append(g[coo.row])
+            cols.append(g[coo.col])
+            vals.append(coo.data)
+        Btot = sparse.csr_matrix(
+            (
+                np.concatenate(vals),
+                (np.concatenate(rows), np.concatenate(cols)),
+            ),
+            shape=(n_pad, n_pad),
+        )
+        Btot.sum_duplicates()
+        cut = min(number_of_blocks(Btot, width), q) * width
+        Bt = Btot[:cut, :cut].tocsr()
+        fmt = force_format or preferred_format(Bt, k_hint)
+        mat = bsr_from_csr(Bt) if fmt == "bsr" else ell_from_csr(Bt, slots_per_row)
+        return LocalArrowPlan(
+            levels=(
+                LocalLevel(
+                    mat=mat, dst_to_src=None, src_to_dst=None, cut=cut, fmt=fmt
+                ),
+            ),
+            width=width,
+            n_rows=n,
+            padded_rows=n_pad,
+            permutations=tuple(padded_perms),
+        )
 
     levels = []
     for i, B in enumerate(mats):

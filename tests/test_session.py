@@ -95,3 +95,30 @@ def test_tiled_apply_matches_untiled(problem):
     full = np.asarray(fn(jnp.asarray(X)))
     tiled = np.asarray(tiled_apply(fn, jnp.asarray(X), 8))
     np.testing.assert_allclose(tiled, full, rtol=1e-5, atol=1e-5)
+
+
+def test_local_merge_modes_agree(problem):
+    """merge_levels=True (one matrix) and False (faithful level mirror) must
+    produce identical iterates."""
+    import jax
+    import jax.numpy as jnp
+
+    from arrow_matrix_tpu.parallel.local import compile_local_plan, local_step
+
+    A, decomp = problem
+    X = random_dense(A.shape[0], 8, seed=9)
+    outs = []
+    for merge in (True, False):
+        plan = compile_local_plan(decomp, 51, merge_levels=merge)
+        xp = np.zeros((plan.padded_rows, 8), np.float32)
+        xp[: A.shape[0]] = X
+        x = jnp.asarray(xp[np.asarray(plan.permutations[0])])
+        for _ in range(3):
+            x = jax.jit(local_step)(plan, x)
+        inv = np.argsort(np.asarray(plan.permutations[0]))
+        outs.append(np.asarray(x)[inv][: A.shape[0]])
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-4)
+    ref = X.copy()
+    for _ in range(3):
+        ref = A @ ref
+    np.testing.assert_allclose(outs[0], ref, rtol=2e-4, atol=2e-4)
