@@ -205,6 +205,33 @@ def bsr_spmm(
     return out
 
 
+def split_by_tile_density(
+    A: sparse.csr_matrix,
+    tile_m: int = 128,
+    tile_n: int = 128,
+    min_nnz_per_tile: int = 32,
+) -> tuple[sparse.csr_matrix, sparse.csr_matrix]:
+    """Split A = A_dense + A_sparse by tile occupancy: tiles holding at least
+    ``min_nnz_per_tile`` nonzeros go to the BSR/MXU part, the scattered rest
+    to the gather-ELL part. The hybrid covers matrices with mixed structure
+    (dense-ish arrow head panels + scattered band)."""
+    A = A.tocsr()
+    coo = A.tocoo()
+    if coo.nnz == 0:
+        return A, A.copy()
+    n_col_tiles = max(1, -(-A.shape[1] // tile_n))
+    tid = (coo.row // tile_m).astype(np.int64) * n_col_tiles + coo.col // tile_n
+    counts = np.bincount(tid)
+    dense_mask = counts[tid] >= min_nnz_per_tile
+    def pick(mask):
+        M = sparse.csr_matrix(
+            (coo.data[mask], (coo.row[mask], coo.col[mask])), shape=A.shape
+        )
+        M.sum_duplicates()
+        return M
+    return pick(dense_mask), pick(~dense_mask)
+
+
 def tile_density_stats(A: sparse.csr_matrix, tile_m: int = 128, tile_n: int = 128):
     """(occupied_tiles, nnz, avg nnz per occupied tile) — inputs to the
     format cost model."""
@@ -222,23 +249,24 @@ def preferred_format(
     k: int,
     tile_m: int = 128,
     tile_n: int = 128,
-    bsr_bytes_per_elem: float = 4.0,
-    ell_bytes_per_nnz: float = 8.0,
-    gather_bytes_equiv: float = 16.0,
+    bsr_ns_per_tile: float = 85.0,
+    ell_ns_per_slot: float = 2.2,
+    slot_pad_factor: float = 1.25,
     x_vmem_budget_bytes: int = 8 << 20,
 ) -> str:
-    """Cost model choosing 'ell' or 'bsr' per matrix.
-
-    BSR streams ``occ * TM * TN * bytes`` of tile payload; ELL moves ~8
-    bytes/nnz of idx+val plus an empirically calibrated gather cost. BSR also
-    requires the dense operand to fit the VMEM budget.
-    """
+    """Time-based cost model choosing 'ell' or 'bsr' per matrix, calibrated
+    on v5e: the BSR Pallas kernel streams one (128,128) f32 tile in ~82ns at
+    HBM bandwidth (measured up to 33 Gnnz/s on dense-ish blocks), while the
+    gather-ELL path costs ~1.4-3 ns per slot on the gather engine. Breakeven
+    sits near ~30 nonzeros per occupied tile. BSR additionally requires the
+    dense operand to fit the VMEM budget (k-tiling raises that ceiling,
+    ops/tiling.py)."""
     occ, nnz, _ = tile_density_stats(A, tile_m, tile_n)
     if nnz == 0:
         return "ell"
     n_col_pad = max(1, -(-A.shape[1] // tile_n)) * tile_n
     if n_col_pad * k * 4 > x_vmem_budget_bytes:
         return "ell"
-    bsr_cost = occ * tile_m * tile_n * bsr_bytes_per_elem
-    ell_cost = nnz * (ell_bytes_per_nnz + gather_bytes_equiv)
-    return "bsr" if bsr_cost < ell_cost else "ell"
+    bsr_ns = occ * bsr_ns_per_tile * (tile_m * tile_n) / (128 * 128)
+    ell_ns = nnz * slot_pad_factor * ell_ns_per_slot
+    return "bsr" if bsr_ns < ell_ns else "ell"

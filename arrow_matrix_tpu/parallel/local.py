@@ -20,7 +20,14 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from arrow_matrix_tpu.ops.bsr_pallas import BsrMat, bsr_from_csr, bsr_spmm, preferred_format
+from arrow_matrix_tpu.ops.bsr_pallas import (
+    BsrMat,
+    bsr_from_csr,
+    bsr_spmm,
+    preferred_format,
+    split_by_tile_density,
+    tile_density_stats,
+)
 from arrow_matrix_tpu.ops.ell import ell_spmm
 from arrow_matrix_tpu.ops.formats import EllMat, ell_from_csr
 
@@ -28,6 +35,8 @@ from arrow_matrix_tpu.ops.formats import EllMat, ell_from_csr
 @struct.dataclass
 class LocalLevel:
     mat: Union[EllMat, BsrMat]
+    # Hybrid mode: scattered remainder as ELL alongside a BSR `mat`.
+    mat_sparse: Optional[EllMat]
     # Truncated destination->source map (cut,) into the padded feature rows;
     # None for level 0 (identity on [0, cut)).
     dst_to_src: Optional[jnp.ndarray]
@@ -105,12 +114,18 @@ def compile_local_plan(
         Btot.sum_duplicates()
         cut = min(number_of_blocks(Btot, width), q) * width
         Bt = Btot[:cut, :cut].tocsr()
-        fmt = force_format or preferred_format(Bt, k_hint)
-        mat = bsr_from_csr(Bt) if fmt == "bsr" else ell_from_csr(Bt, slots_per_row)
+        fmt, mat, mat_sparse = _choose_format(
+            Bt, k_hint, slots_per_row, force_format
+        )
         return LocalArrowPlan(
             levels=(
                 LocalLevel(
-                    mat=mat, dst_to_src=None, src_to_dst=None, cut=cut, fmt=fmt
+                    mat=mat,
+                    mat_sparse=mat_sparse,
+                    dst_to_src=None,
+                    src_to_dst=None,
+                    cut=cut,
+                    fmt=fmt,
                 ),
             ),
             width=width,
@@ -138,11 +153,9 @@ def compile_local_plan(
                 f"level {i}: {B.nnz - Bt.nnz} nonzeros outside the truncated "
                 f"{q_i}-block square; decomposition inconsistent with width {width}"
             )
-        fmt = force_format or preferred_format(Bt, k_hint)
-        if fmt == "bsr":
-            mat = bsr_from_csr(Bt)
-        else:
-            mat = ell_from_csr(Bt, slots_per_row)
+        fmt, mat, mat_sparse = _choose_format(
+            Bt, k_hint, slots_per_row, force_format
+        )
         dst_to_src = None
         src_to_dst = None
         if i > 0:
@@ -154,6 +167,7 @@ def compile_local_plan(
         levels.append(
             LocalLevel(
                 mat=mat,
+                mat_sparse=mat_sparse,
                 dst_to_src=dst_to_src,
                 src_to_dst=src_to_dst,
                 cut=cut,
@@ -170,15 +184,36 @@ def compile_local_plan(
     )
 
 
+def _choose_format(Bt, k_hint, slots_per_row, force_format):
+    """Pick 'ell', 'bsr', or 'hybrid' for a level matrix and build it."""
+    fmt = force_format or preferred_format(Bt, k_hint)
+    if fmt == "ell" and force_format is None:
+        # Mixed structure: peel dense tiles onto the MXU when they hold a
+        # meaningful share of the nonzeros.
+        dense, rest = split_by_tile_density(Bt)
+        if dense.nnz >= max(16384, Bt.nnz // 8):
+            occ, _, _ = tile_density_stats(dense)
+            if preferred_format(dense, k_hint) == "bsr":
+                return "hybrid", bsr_from_csr(dense), ell_from_csr(rest, slots_per_row)
+    if fmt == "bsr":
+        return fmt, bsr_from_csr(Bt), None
+    return "ell", ell_from_csr(Bt, slots_per_row), None
+
+
+def _bsr_apply(m: BsrMat, x_lvl: jnp.ndarray, cut: int) -> jnp.ndarray:
+    pad = m.n_col_tiles * m.tile_n - x_lvl.shape[0]
+    if pad > 0:
+        x_lvl = jnp.concatenate(
+            [x_lvl, jnp.zeros((pad, x_lvl.shape[1]), x_lvl.dtype)], axis=0
+        )
+    return bsr_spmm(m, x_lvl)[:cut].astype(x_lvl.dtype)
+
+
 def _apply(lvl: LocalLevel, x_lvl: jnp.ndarray) -> jnp.ndarray:
     if lvl.fmt == "bsr":
-        m: BsrMat = lvl.mat
-        pad = m.n_col_tiles * m.tile_n - x_lvl.shape[0]
-        if pad > 0:
-            x_lvl = jnp.concatenate(
-                [x_lvl, jnp.zeros((pad, x_lvl.shape[1]), x_lvl.dtype)], axis=0
-            )
-        return bsr_spmm(m, x_lvl)[: lvl.cut].astype(x_lvl.dtype)
+        return _bsr_apply(lvl.mat, x_lvl, lvl.cut)
+    if lvl.fmt == "hybrid":
+        return _bsr_apply(lvl.mat, x_lvl, lvl.cut) + ell_spmm(lvl.mat_sparse, x_lvl)
     return ell_spmm(lvl.mat, x_lvl)
 
 
