@@ -122,3 +122,46 @@ def test_local_merge_modes_agree(problem):
     for _ in range(3):
         ref = A @ ref
     np.testing.assert_allclose(outs[0], ref, rtol=2e-4, atol=2e-4)
+
+
+def test_auto_format_selects_bsr_on_dense_graphs():
+    """Dense-ish matrices must route through the Pallas BSR kernel (interpret
+    mode on CPU) and stay correct."""
+    import jax
+    import jax.numpy as jnp
+
+    from arrow_matrix_tpu.io.generate import erdos_renyi
+    from arrow_matrix_tpu.parallel.local import compile_local_plan, local_step
+
+    n, width = 1024, 128
+    A = erdos_renyi(n, 0.05, seed=7)
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=20, block_diagonal=True, seed=2
+    )
+    plan = compile_local_plan(decomp, width, k_hint=16)
+    assert any(l.fmt in ("bsr", "hybrid") for l in plan.levels)
+    X = random_dense(n, 16, seed=1)
+    xp = np.zeros((plan.padded_rows, 16), np.float32)
+    xp[:n] = X
+    x = jnp.asarray(xp[np.asarray(plan.permutations[0])])
+    x = jax.jit(local_step)(plan, x)
+    inv = np.argsort(np.asarray(plan.permutations[0]))
+    np.testing.assert_allclose(
+        np.asarray(x)[inv][:n], A @ X, rtol=2e-4, atol=2e-4
+    )
+
+
+def test_hybrid_split_covers_all_nnz():
+    from scipy import sparse as sp
+
+    from arrow_matrix_tpu.ops.bsr_pallas import split_by_tile_density
+
+    rng = np.random.default_rng(3)
+    # Mixed structure: a dense head panel + a very sparse remainder.
+    head = sp.random(128, 1024, 0.3, format="csr", dtype=np.float32, random_state=1)
+    tail = sp.random(896, 1024, 0.001, format="csr", dtype=np.float32, random_state=2)
+    A = sp.vstack([head, tail]).tocsr()
+    dense, rest = split_by_tile_density(A, min_nnz_per_tile=32)
+    assert dense.nnz + rest.nnz == A.nnz
+    assert abs(dense + rest - A).max() < 1e-6
+    assert dense.nnz > 0 and rest.nnz > 0
