@@ -66,6 +66,7 @@ def compile_local_plan(
     force_format: str | None = None,
     block_diagonal: bool = True,
     merge_levels: bool = True,
+    matrix_dtype=np.float32,
 ) -> LocalArrowPlan:
     """Compile a decomposition for single-chip execution.
 
@@ -115,7 +116,7 @@ def compile_local_plan(
         cut = min(number_of_blocks(Btot, width), q) * width
         Bt = Btot[:cut, :cut].tocsr()
         fmt, mat, mat_sparse = _choose_format(
-            Bt, k_hint, slots_per_row, force_format
+            Bt, k_hint, slots_per_row, force_format, matrix_dtype
         )
         return LocalArrowPlan(
             levels=(
@@ -154,7 +155,7 @@ def compile_local_plan(
                 f"{q_i}-block square; decomposition inconsistent with width {width}"
             )
         fmt, mat, mat_sparse = _choose_format(
-            Bt, k_hint, slots_per_row, force_format
+            Bt, k_hint, slots_per_row, force_format, matrix_dtype
         )
         dst_to_src = None
         src_to_dst = None
@@ -184,8 +185,10 @@ def compile_local_plan(
     )
 
 
-def _choose_format(Bt, k_hint, slots_per_row, force_format):
-    """Pick 'ell', 'bsr', or 'hybrid' for a level matrix and build it."""
+def _choose_format(Bt, k_hint, slots_per_row, force_format, dtype=np.float32):
+    """Pick 'ell', 'bsr', or 'hybrid' for a level matrix and build it.
+    ``dtype=jnp.bfloat16`` halves the BSR tile stream and the ELL value
+    traffic (values are rounded; accumulation stays float32)."""
     fmt = force_format or preferred_format(Bt, k_hint)
     if fmt == "ell" and force_format is None:
         # Mixed structure: peel dense tiles onto the MXU when they hold a
@@ -194,10 +197,14 @@ def _choose_format(Bt, k_hint, slots_per_row, force_format):
         if dense.nnz >= max(16384, Bt.nnz // 8):
             occ, _, _ = tile_density_stats(dense)
             if preferred_format(dense, k_hint) == "bsr":
-                return "hybrid", bsr_from_csr(dense), ell_from_csr(rest, slots_per_row)
+                return (
+                    "hybrid",
+                    bsr_from_csr(dense, dtype=dtype),
+                    ell_from_csr(rest, slots_per_row, dtype=dtype),
+                )
     if fmt == "bsr":
-        return fmt, bsr_from_csr(Bt), None
-    return "ell", ell_from_csr(Bt, slots_per_row), None
+        return fmt, bsr_from_csr(Bt, dtype=dtype), None
+    return "ell", ell_from_csr(Bt, slots_per_row, dtype=dtype), None
 
 
 def _bsr_apply(m: BsrMat, x_lvl: jnp.ndarray, cut: int) -> jnp.ndarray:

@@ -165,3 +165,25 @@ def test_hybrid_split_covers_all_nnz():
     assert dense.nnz + rest.nnz == A.nnz
     assert abs(dense + rest - A).max() < 1e-6
     assert dense.nnz > 0 and rest.nnz > 0
+
+
+def test_bf16_matrix_payloads(problem):
+    """bf16 values halve kernel traffic; accumulation stays f32 (looser
+    tolerance expected)."""
+    import jax
+    import jax.numpy as jnp
+
+    from arrow_matrix_tpu.parallel.local import compile_local_plan, local_step
+
+    A, decomp = problem
+    X = random_dense(A.shape[0], 8, seed=11)
+    plan = compile_local_plan(decomp, 51, matrix_dtype=jnp.bfloat16)
+    xp = np.zeros((plan.padded_rows, 8), np.float32)
+    xp[: A.shape[0]] = X
+    x = jnp.asarray(xp[np.asarray(plan.permutations[0])])
+    x = jax.jit(local_step)(plan, x)
+    inv = np.argsort(np.asarray(plan.permutations[0]))
+    got = np.asarray(x)[inv][: A.shape[0]]
+    ref = A @ X
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
