@@ -89,7 +89,11 @@ def bench_spmm(
     with metrics.span("plan_compile_time"):
         if n_devices > 1:
             plan = compile_plan(
-                decomposition, width, n_devices, block_diagonal=block_diagonal
+                decomposition,
+                width,
+                n_devices,
+                block_diagonal=block_diagonal,
+                k_hint=features,
             )
         else:
             plan = compile_local_plan(decomposition, width, k_hint=features)

@@ -205,6 +205,57 @@ def bsr_spmm(
     return out
 
 
+def stack_bsr_from_csr(
+    blocks: list[sparse.csr_matrix],
+    tile_m: int = 128,
+    tile_n: int = 128,
+    dtype=np.float32,
+    tiles_per_program: int = 8,
+) -> BsrMat:
+    """Build a (q, ...)-stacked BsrMat from CSR blocks with a COMMON static
+    tile count (padding tiles are all-zero and repeat a sorted row id), for
+    per-device execution under shard_map."""
+    mats = [
+        bsr_from_csr(b, tile_m, tile_n, dtype, tiles_per_program) for b in blocks
+    ]
+    T = max(m.n_tiles for m in mats)
+    P = T // tiles_per_program
+
+    def pad_mat(m: BsrMat):
+        t0 = m.n_tiles
+        data = np.zeros((T, tile_m, tile_n), dtype=dtype)
+        data[:t0] = np.asarray(m.tiles_data)
+        cols = np.zeros(T, dtype=np.int32)
+        cols[:t0] = np.asarray(m.tiles_col)
+        rows = np.asarray(m.prog_rows)
+        prog = np.full(P, rows[-1] if rows.size else 0, dtype=np.int32)
+        prog[: rows.size] = rows
+        return data, cols, prog
+
+    padded = [pad_mat(m) for m in mats]
+    return BsrMat(
+        tiles_data=np.stack([p[0] for p in padded]),
+        tiles_col=np.stack([p[1] for p in padded]),
+        prog_rows=np.stack([p[2] for p in padded]),
+        n_rows=max(m.n_rows for m in mats),
+        n_cols=max(m.n_cols for m in mats),
+        tile_m=tile_m,
+        tile_n=tile_n,
+        n_row_tiles=max(m.n_row_tiles for m in mats),
+        n_col_tiles=max(m.n_col_tiles for m in mats),
+        tiles_per_program=tiles_per_program,
+    )
+
+
+def preferred_format_blocks(
+    blocks: list[sparse.csr_matrix], k: int, **kw
+) -> str:
+    """Aggregate format choice for a set of same-role blocks (they must share
+    one static format under shard_map)."""
+    agg = sparse.vstack([b.tocsr() for b in blocks]).tocsr()
+    return preferred_format(agg, k, **kw)
+
+
 def split_by_tile_density(
     A: sparse.csr_matrix,
     tile_m: int = 128,

@@ -37,6 +37,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from arrow_matrix_tpu.ops.bsr_pallas import BsrMat, bsr_spmm
 from arrow_matrix_tpu.ops.ell import ell_spmm
 from arrow_matrix_tpu.ops.formats import EllMat
 from arrow_matrix_tpu.plan.compile import ArrowPlan, LevelPlan
@@ -60,8 +61,14 @@ def _shard_spec(pytree):
     )
 
 
-def _local(m: EllMat) -> EllMat:
+def _local(m):
     """Strip the per-device leading axis of size 1 inside shard_map."""
+    if isinstance(m, BsrMat):
+        return m.replace(
+            tiles_data=m.tiles_data[0],
+            tiles_col=m.tiles_col[0],
+            prog_rows=m.prog_rows[0],
+        )
     return m.replace(
         idx=m.idx[0],
         val=m.val[0],
@@ -84,6 +91,20 @@ def _zero_pad_rows(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
 
 
+def _apply_block(m, x: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Multiply one (width x width-ish) block by (width, k) features,
+    dispatching to the gather-ELL or Pallas BSR kernel."""
+    m = _local(m)
+    if isinstance(m, BsrMat):
+        pad = m.n_col_tiles * m.tile_n - x.shape[0]
+        if pad > 0:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0
+            )
+        return bsr_spmm(m, x)[:width].astype(x.dtype)
+    return ell_spmm(m, x)
+
+
 def _level_spmm(lvl: LevelPlan, x: jnp.ndarray, width: int) -> jnp.ndarray:
     """One arrow matrix SpMM; x is this device's (width, k) feature block in
     the level's permuted order; returns this device's (width, k) result block.
@@ -94,14 +115,14 @@ def _level_spmm(lvl: LevelPlan, x: jnp.ndarray, width: int) -> jnp.ndarray:
     """
     j = lax.axis_index(AXIS)
 
-    head_partial = ell_spmm(_local(lvl.head), x)  # A_0j @ X_j
+    head_partial = _apply_block(lvl.head, x, width)  # A_0j @ X_j
 
     # Fused Bcast(X_0) + Reduce(C_0): one psum carries both.
     x0_masked = jnp.where(j == 0, x, jnp.zeros_like(x))
     packed = lax.psum(jnp.concatenate([x0_masked, head_partial], axis=0), AXIS)
     x_0, c_0 = packed[:width], packed[width:]
 
-    c_j = ell_spmm(_local(lvl.diag), x) + ell_spmm(_local(lvl.col), x_0)
+    c_j = _apply_block(lvl.diag, x, width) + _apply_block(lvl.col, x_0, width)
 
     if lvl.band_lo is not None:
         q = lax.axis_size(AXIS)
@@ -109,8 +130,8 @@ def _level_spmm(lvl: LevelPlan, x: jnp.ndarray, width: int) -> jnp.ndarray:
         bwd = [(d + 1, d) for d in range(q - 1)]  # x_{j+1} arrives at j
         x_lo = lax.ppermute(x, AXIS, fwd)
         x_hi = lax.ppermute(x, AXIS, bwd)
-        c_j = c_j + ell_spmm(_local(lvl.band_lo), x_lo)
-        c_j = c_j + ell_spmm(_local(lvl.band_hi), x_hi)
+        c_j = c_j + _apply_block(lvl.band_lo, x_lo, width)
+        c_j = c_j + _apply_block(lvl.band_hi, x_hi, width)
 
     return jnp.where(j == 0, c_0, c_j)
 
@@ -189,6 +210,9 @@ class ArrowSpmm:
             mesh=self.mesh,
             in_specs=(plan_specs, x_spec),
             out_specs=x_spec,
+            # Pallas calls inside shard_map don't carry varying-mesh-axis
+            # metadata; skip the check.
+            check_vma=False,
         )
         def step_body(plan: ArrowPlan, x):
             c = _level_spmm(plan.levels[0], x, width)

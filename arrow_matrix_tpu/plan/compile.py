@@ -29,6 +29,11 @@ from scipy import sparse
 import jax.numpy as jnp
 from flax import struct
 
+from arrow_matrix_tpu.ops.bsr_pallas import (
+    BsrMat,
+    preferred_format_blocks,
+    stack_bsr_from_csr,
+)
 from arrow_matrix_tpu.ops.formats import EllMat, ell_from_csr, stack_ells_from_csr
 from arrow_matrix_tpu.plan.routing import RouteTables, build_route_tables
 
@@ -147,6 +152,8 @@ def compile_plan(
     block_diagonal: bool = True,
     slots_per_row: int | None = None,
     routing_pad_multiple: int = 8,
+    k_hint: int = 16,
+    force_format: str | None = None,
 ) -> ArrowPlan:
     """Compile a decomposition into an :class:`ArrowPlan` for a mesh with
     ``n_devices`` devices on the block axis.
@@ -249,21 +256,22 @@ def compile_plan(
             )
 
         banded = not block_diagonal
+
+        def build_role(blocks):
+            # One static format per role (identical per-device programs under
+            # shard_map); the Pallas BSR kernel takes dense-enough roles.
+            fmt = force_format or preferred_format_blocks(blocks, k_hint)
+            if fmt == "bsr":
+                return stack_bsr_from_csr(blocks)
+            return stack_ells_from_csr(blocks, slots_per_row)
+
         levels.append(
             LevelPlan(
-                head=stack_ells_from_csr(head_blocks, slots_per_row),
-                diag=stack_ells_from_csr(diag_blocks, slots_per_row),
-                col=stack_ells_from_csr(col_blocks, slots_per_row),
-                band_lo=(
-                    stack_ells_from_csr(lo_blocks, slots_per_row)
-                    if banded
-                    else None
-                ),
-                band_hi=(
-                    stack_ells_from_csr(hi_blocks, slots_per_row)
-                    if banded
-                    else None
-                ),
+                head=build_role(head_blocks),
+                diag=build_role(diag_blocks),
+                col=build_role(col_blocks),
+                band_lo=build_role(lo_blocks) if banded else None,
+                band_hi=build_role(hi_blocks) if banded else None,
                 route=route,
                 n_active_blocks=q_i,
             )

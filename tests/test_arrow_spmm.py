@@ -168,3 +168,50 @@ def test_feature_widths(k):
         (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=(n, n)
     )
     _run_iterations(A, [(A, np.arange(n))], width, q, iters=2, k=k)
+
+
+def test_distributed_bsr_blocks():
+    """Distributed step with the Pallas BSR kernel per device (interpret
+    mode on CPU): dense-ish matrix forces BSR role selection."""
+    from arrow_matrix_tpu.io.generate import erdos_renyi
+
+    q = 8
+    n, width = 1024, 128
+    A = erdos_renyi(n, 0.05, seed=17)
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=20, block_diagonal=True, seed=3
+    )
+    plan = compile_plan(decomp, width, q, k_hint=16)
+    from arrow_matrix_tpu.ops.bsr_pallas import BsrMat
+
+    assert any(
+        isinstance(m, BsrMat)
+        for lvl in plan.levels
+        for m in (lvl.head, lvl.diag, lvl.col)
+    )
+    runner = ArrowSpmm(plan, block_mesh(q))
+    X = random_dense(n, 16, seed=4)
+    x = runner.distribute(X)
+    ref = X.copy()
+    for _ in range(2):
+        x = runner.step(x)
+        ref = A @ ref
+    np.testing.assert_allclose(runner.collect(x), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_distributed_forced_formats_agree():
+    from arrow_matrix_tpu.io.generate import erdos_renyi
+
+    q, n, width = 4, 512, 128
+    A = erdos_renyi(n, 0.04, seed=19)
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=20, block_diagonal=True, seed=5
+    )
+    X = random_dense(n, 8, seed=6)
+    outs = []
+    for fmt in ("ell", "bsr"):
+        plan = compile_plan(decomp, width, q, force_format=fmt)
+        runner = ArrowSpmm(plan, block_mesh(q))
+        x = runner.step(runner.distribute(X))
+        outs.append(runner.collect(x))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-4)
