@@ -39,7 +39,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from arrow_matrix_tpu.ops.bsr_pallas import BsrMat, bsr_spmm
 from arrow_matrix_tpu.ops.ell import ell_spmm
-from arrow_matrix_tpu.ops.formats import EllMat
 from arrow_matrix_tpu.plan.compile import ArrowPlan, LevelPlan
 from arrow_matrix_tpu.plan.routing import RouteTables
 

@@ -26,7 +26,6 @@ from typing import Optional, Sequence
 import numpy as np
 from scipy import sparse
 
-import jax.numpy as jnp
 from flax import struct
 
 from arrow_matrix_tpu.ops.bsr_pallas import (
@@ -34,7 +33,7 @@ from arrow_matrix_tpu.ops.bsr_pallas import (
     preferred_format_blocks,
     stack_bsr_from_csr,
 )
-from arrow_matrix_tpu.ops.formats import EllMat, ell_from_csr, stack_ells_from_csr
+from arrow_matrix_tpu.ops.formats import EllMat, stack_ells_from_csr
 from arrow_matrix_tpu.plan.routing import RouteTables, build_route_tables
 
 
