@@ -48,6 +48,9 @@ class BsrMat:
     tiles_data: jnp.ndarray
     tiles_col: jnp.ndarray
     prog_rows: jnp.ndarray
+    # Per tile-row occupancy (n_row_tiles,): output blocks of rows without
+    # any stored tile are never written by the kernel and must be masked.
+    row_occupied: jnp.ndarray
     n_rows: int = struct.field(pytree_node=False)
     n_cols: int = struct.field(pytree_node=False)
     tile_m: int = struct.field(pytree_node=False)
@@ -100,8 +103,10 @@ def bsr_from_csr(
     data = np.zeros((T_pad, tile_m, tile_n), dtype=dtype)
     cols = np.zeros(T_pad, dtype=np.int32)
     prog_rows = np.zeros(T_pad // TB, dtype=np.int32)
+    row_occupied = np.zeros(n_row_tiles, dtype=bool)
 
     if uniq.size:
+        row_occupied[urow] = True
         row_offsets = np.concatenate(([0], np.cumsum(padded_counts)))
         # Slot of each real tile: row offset + rank within row.
         rank_in_row = np.arange(uniq.size) - np.concatenate(
@@ -121,6 +126,7 @@ def bsr_from_csr(
         tiles_data=data,
         tiles_col=cols,
         prog_rows=prog_rows,
+        row_occupied=row_occupied,
         n_rows=n_rows,
         n_cols=n_cols,
         tile_m=tile_m,
@@ -202,7 +208,10 @@ def bsr_spmm(
         out_shape=jax.ShapeDtypeStruct((m.n_row_tiles * TM, k), jnp.float32),
         interpret=interpret,
     )(m.prog_rows, m.tiles_col, m.tiles_data, x)
-    return out
+    # Output blocks of unoccupied tile rows are never written by the kernel:
+    # mask them to zero (static mask, elementwise select).
+    mask = jnp.repeat(m.row_occupied, TM)[:, None]
+    return jnp.where(mask, out, 0.0)
 
 
 def stack_bsr_from_csr(
@@ -221,6 +230,8 @@ def stack_bsr_from_csr(
     T = max(m.n_tiles for m in mats)
     P = T // tiles_per_program
 
+    n_row_tiles = max(m.n_row_tiles for m in mats)
+
     def pad_mat(m: BsrMat):
         t0 = m.n_tiles
         data = np.zeros((T, tile_m, tile_n), dtype=dtype)
@@ -230,18 +241,21 @@ def stack_bsr_from_csr(
         rows = np.asarray(m.prog_rows)
         prog = np.full(P, rows[-1] if rows.size else 0, dtype=np.int32)
         prog[: rows.size] = rows
-        return data, cols, prog
+        occ = np.zeros(n_row_tiles, dtype=bool)
+        occ[: m.n_row_tiles] = np.asarray(m.row_occupied)
+        return data, cols, prog, occ
 
     padded = [pad_mat(m) for m in mats]
     return BsrMat(
         tiles_data=np.stack([p[0] for p in padded]),
         tiles_col=np.stack([p[1] for p in padded]),
         prog_rows=np.stack([p[2] for p in padded]),
+        row_occupied=np.stack([p[3] for p in padded]),
         n_rows=max(m.n_rows for m in mats),
         n_cols=max(m.n_cols for m in mats),
         tile_m=tile_m,
         tile_n=tile_n,
-        n_row_tiles=max(m.n_row_tiles for m in mats),
+        n_row_tiles=n_row_tiles,
         n_col_tiles=max(m.n_col_tiles for m in mats),
         tiles_per_program=tiles_per_program,
     )

@@ -111,3 +111,21 @@ def test_stacked_with_heavy_rows():
     ys = jax.vmap(one)(stacked.idx, stacked.val, stacked.combine)
     for b, y in zip([heavy, light, empty], np.asarray(ys)):
         np.testing.assert_allclose(y, b @ X, rtol=1e-5, atol=1e-5)
+
+
+def test_bsr_unoccupied_tile_rows_are_zero():
+    """Regression: tile rows without any stored tile must produce zeros (the
+    kernel never writes their output blocks; masked in bsr_spmm)."""
+    from arrow_matrix_tpu.ops.bsr_pallas import bsr_from_csr, bsr_spmm
+
+    rng = np.random.default_rng(0)
+    n = 512
+    A = np.zeros((n, n), dtype=np.float32)
+    A[:100, :200] = rng.random((100, 200))  # only the first tile row occupied
+    As = sparse.csr_matrix(A)
+    m = bsr_from_csr(As)
+    assert not bool(np.asarray(m.row_occupied).all())
+    X = rng.random((m.n_col_tiles * m.tile_n, 8), dtype=np.float32)
+    Y = np.asarray(bsr_spmm(m, jnp.asarray(X)))
+    np.testing.assert_allclose(Y[:n], A @ X[:n], rtol=1e-5, atol=1e-5)
+    assert np.all(Y[128:] == 0.0)

@@ -187,3 +187,24 @@ def test_bf16_matrix_payloads(problem):
     ref = A @ X
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 2e-2, rel
+
+
+def test_pagerank_example():
+    """The worked example converges to the scipy power-iteration result."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.pagerank import pagerank
+    from scipy import sparse as sp
+
+    A = barabasi_albert(256, 4, seed=7)
+    got = pagerank(A, iterations=40, width=64, n_devices=1)
+
+    # scipy golden power iteration
+    n = A.shape[0]
+    out_deg = np.asarray(A.sum(axis=0)).ravel()
+    inv = np.divide(1.0, out_deg, out=np.zeros_like(out_deg), where=out_deg > 0)
+    M = (A @ sp.diags(inv)).tocsr().astype(np.float32)
+    x = np.full(n, 1.0 / n, dtype=np.float32)
+    for _ in range(40):
+        x = 0.85 * (M @ x) + 0.15 / n
+    np.testing.assert_allclose(got, x, rtol=1e-3, atol=1e-6)
