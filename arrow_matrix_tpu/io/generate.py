@@ -116,3 +116,21 @@ def structured_arrow_matrix(
     A[kill, :] = 0.0
     A[:, kill] = 0.0
     return sparse.csr_matrix(A.astype(np.float32))
+
+
+def grid_graph(side: int, seed: int | None = None) -> sparse.csr_matrix:
+    """2-D grid graph (side x side vertices, 4-neighbor) — a planar family,
+    the structure class for which the arrow decomposition guarantees
+    polynomial communication reduction (reference: README.md:3)."""
+    n = side * side
+    idx = np.arange(n).reshape(side, side)
+    rows, cols = [], []
+    rows.append(idx[:, :-1].ravel()); cols.append(idx[:, 1:].ravel())
+    rows.append(idx[:-1, :].ravel()); cols.append(idx[1:, :].ravel())
+    r = np.concatenate(rows); c = np.concatenate(cols)
+    rr, cc = np.concatenate([r, c]), np.concatenate([c, r])
+    A = sparse.csr_matrix(
+        (np.ones(rr.size, dtype=np.float32), (rr, cc)), shape=(n, n)
+    )
+    A.sum_duplicates()
+    return A

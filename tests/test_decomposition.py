@@ -157,3 +157,17 @@ def test_dataless_load_means_ones(tmp_path):
         )
     loaded = graphio.load_decomposition_new(base, 17, block_diagonal=True)
     assert all(np.all(B.data == 1.0) for B, _ in loaded)
+
+
+def test_grid_graph_planar_family():
+    """Planar-family fixture (the reference's headline graph class,
+    README.md:3): decomposition is shallow and exactly reconstructs."""
+    from arrow_matrix_tpu.io.generate import grid_graph
+
+    A = grid_graph(32)  # 1024 vertices
+    decomp = arrow_decomposition(
+        A, 128, max_number_of_levels=100, block_diagonal=True, seed=0
+    )
+    assert len(decomp) <= 3  # planar graphs decompose shallowly
+    X = np.random.default_rng(0).random((1024, 8), dtype=np.float32)
+    np.testing.assert_allclose(compute_spmm(decomp, X), A @ X, rtol=1e-4, atol=1e-4)
