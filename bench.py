@@ -20,6 +20,9 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--graph", choices=["ba", "er", "grid"], default="ba",
+                   help="ba: power-law (scattered, gather-ELL); er: dense-ish "
+                        "(Pallas BSR); grid: planar family")
     p.add_argument("--vertices", type=int, default=200_000)
     p.add_argument("--ba-neighbors", type=int, default=4)
     p.add_argument("--width", type=int, default=25_000)
@@ -37,7 +40,21 @@ def main():
     from arrow_matrix_tpu.parallel.local import compile_local_plan, local_step
 
     rng = np.random.default_rng(0)
-    A = barabasi_albert(args.vertices, args.ba_neighbors, seed=1)
+    if args.graph == "er":
+        from arrow_matrix_tpu.io.generate import erdos_renyi
+
+        n = min(args.vertices, 16_384)
+        A = erdos_renyi(n, 0.01, seed=1)
+        args.width = min(args.width, max(1, n // 8))
+    elif args.graph == "grid":
+        from arrow_matrix_tpu.io.generate import grid_graph
+
+        side = int(args.vertices ** 0.5)
+        A = grid_graph(side)
+        args.width = min(args.width, max(1, (side * side) // 8 + 1))
+    else:
+        A = barabasi_albert(args.vertices, args.ba_neighbors, seed=1)
+    args.vertices = A.shape[0]
     decomp = arrow_decomposition(
         A,
         args.width,
