@@ -215,3 +215,16 @@ def test_distributed_forced_formats_agree():
         x = runner.step(runner.distribute(X))
         outs.append(runner.collect(x))
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-4)
+
+
+def test_directed_graph_end_to_end():
+    """Directed (asymmetric) adjacency through decomposition + distributed
+    run (the reference's directed Barabási fixtures,
+    tests/test_arrowdecomposition.py:18)."""
+    n, q = 256, 8
+    A = barabasi_albert(n, 3, seed=31, directed=True)
+    width = n // 6 + 1
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=True, seed=2
+    )
+    _run_iterations(A, decomp, width, q, iters=2, k=8)
