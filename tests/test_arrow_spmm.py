@@ -228,3 +228,57 @@ def test_directed_graph_end_to_end():
         A, width, max_number_of_levels=100, block_diagonal=True, seed=2
     )
     _run_iterations(A, decomp, width, q, iters=2, k=8)
+
+
+def test_multilevel_banded_distributed():
+    """Banded (non-block-diagonal) decomposition with multiple levels through
+    the distributed runner (fat-layout capability, reference: ArrowMPI)."""
+    n, q = 320, 8
+    A = barabasi_albert(n, 4, seed=41)
+    width = n // 8 + 1
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=False, seed=1
+    )
+    assert len(decomp) >= 2
+    _run_iterations(A, decomp, width, q, iters=2, k=8, block_diagonal=False)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_randomized_consistency(trial):
+    """Fuzz: random graph/width/levels; local merged, local level-mirror and
+    distributed runners must all match scipy."""
+    import jax.numpy as jnp
+
+    from arrow_matrix_tpu.parallel.local import compile_local_plan, local_step
+
+    rng = np.random.default_rng(100 + trial)
+    n = int(rng.integers(120, 400))
+    m_edges = int(rng.integers(2, 6))
+    A = barabasi_albert(n, m_edges, seed=int(rng.integers(1e6)))
+    A.data = rng.uniform(0.5, 1.5, A.nnz).astype(np.float32)
+    max_levels = int(rng.integers(2, 30))
+    q = 8
+    width = -(-n // q)  # ceil so 8 blocks always cover
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=max_levels, block_diagonal=True,
+        seed=int(rng.integers(1e6)),
+    )
+    X = random_dense(n, 8, seed=trial)
+    ref = A @ (A @ X)
+
+    runner = ArrowSpmm(compile_plan(decomp, width, q), block_mesh(q))
+    x = runner.distribute(X)
+    x = runner.step(runner.step(x))
+    np.testing.assert_allclose(runner.collect(x), ref, rtol=3e-4, atol=3e-4)
+
+    for merge in (True, False):
+        plan = compile_local_plan(decomp, width, n_blocks=q, merge_levels=merge)
+        xp = np.zeros((plan.padded_rows, 8), np.float32)
+        xp[:n] = X
+        xl = jnp.asarray(xp[np.asarray(plan.permutations[0])])
+        xl = jax.jit(local_step)(plan, xl)
+        xl = jax.jit(local_step)(plan, xl)
+        inv = np.argsort(np.asarray(plan.permutations[0]))
+        np.testing.assert_allclose(
+            np.asarray(xl)[inv][:n], ref, rtol=3e-4, atol=3e-4
+        )
