@@ -1,11 +1,12 @@
 """Single-device execution of an arrow decomposition (no collectives).
 
 The distributed step in ``arrow_spmm.py`` partitions every level into
-per-device blocks; on ONE chip that partitioning is pure overhead, so the
-local plan merges each level back into a single truncated matrix and the step
-becomes: route features into level order (gather), one SpMM per level
-(ELL gather kernel or BSR Pallas kernel, chosen by the plan's cost model),
-scatter-add the partials back — mirroring the reference's single-rank fast
+per-device blocks; on ONE chip that partitioning — and the level structure
+itself — is pure communication machinery, so the default local plan merges
+ALL levels into one matrix in level-0 order and the step is a single SpMM
+(gather-ELL, Pallas BSR, or a hybrid tile-density split, chosen by the
+calibrated cost model). A faithful level-by-level mirror remains available
+for validating plan semantics — mirroring the reference's single-rank fast
 paths (reference: arrow/arrow_dec_mpi.py:446-458, 1-rank ArrowSlimMPI).
 """
 
@@ -45,7 +46,7 @@ class LocalLevel:
     # a gather through this table — TPU scatters serialize.
     src_to_dst: Optional[jnp.ndarray]
     cut: int = struct.field(pytree_node=False)
-    fmt: str = struct.field(pytree_node=False)  # 'ell' | 'bsr'
+    fmt: str = struct.field(pytree_node=False)  # 'ell' | 'bsr' | 'hybrid'
 
 
 @struct.dataclass

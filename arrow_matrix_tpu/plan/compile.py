@@ -45,11 +45,13 @@ class LevelPlan:
     mode additionally the sub/super-diagonal blocks A_j,j∓1, reference:
     arrow/arrow_mpi.py:438-474)."""
 
-    head: EllMat  # (q, ...) A_0j
-    diag: EllMat  # (q, ...) A_jj (device 0 entry empty)
-    col: EllMat  # (q, ...) A_j0 (device 0 entry empty)
-    band_lo: Optional[EllMat]  # (q, ...) A_j,j-1 for j >= 2, banded mode only
-    band_hi: Optional[EllMat]  # (q, ...) A_j,j+1 for 1 <= j <= q-2
+    # Each role is a device-stacked EllMat or BsrMat (one static format per
+    # role, chosen by the calibrated cost model).
+    head: object  # (q, ...) A_0j
+    diag: object  # (q, ...) A_jj (device 0 entry empty)
+    col: object  # (q, ...) A_j0 (device 0 entry empty)
+    band_lo: Optional[object]  # (q, ...) A_j,j-1 for j >= 2, banded mode only
+    band_hi: Optional[object]  # (q, ...) A_j,j+1 for 1 <= j <= q-2
     route: Optional[RouteTables]  # None for level 0
     n_active_blocks: int = struct.field(pytree_node=False)
 
