@@ -238,17 +238,31 @@ class ArrowSpmm:
     def distribute(self, X: np.ndarray):
         """Host (n, k) features in original order -> device-sharded features
         in level-0 permuted order (the reference's root-side scatter,
-        arrow_dec_mpi.py:753-823, as a single device_put)."""
+        arrow_dec_mpi.py:753-823, as a single device_put). On multi-host
+        meshes every process must call this with the same X; each host
+        places only its addressable shards."""
         n_pad = self.plan.padded_rows
         Xp = np.zeros((n_pad, X.shape[1]), dtype=np.float32)
         Xp[: X.shape[0]] = X
         x0 = Xp[np.asarray(self.plan.permutations[0])]
         sharding = NamedSharding(self.mesh, self._x_spec)
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                x0.shape, sharding, lambda idx: x0[idx]
+            )
         return jax.device_put(jnp.asarray(x0), sharding)
 
     def collect(self, x_sharded) -> np.ndarray:
         """Device-sharded level-0-ordered features -> host (n, k) original
-        order (reference: allgather_result, arrow_slim_mpi.py:415-425)."""
-        x0 = np.asarray(jax.device_get(x_sharded))
+        order (reference: allgather_result, arrow_slim_mpi.py:415-425).
+        Multi-host meshes all-gather across processes first."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            x0 = np.asarray(
+                multihost_utils.process_allgather(x_sharded, tiled=True)
+            )
+        else:
+            x0 = np.asarray(jax.device_get(x_sharded))
         inv = np.argsort(np.asarray(self.plan.permutations[0]))
         return x0[inv][: self.plan.n_rows]
