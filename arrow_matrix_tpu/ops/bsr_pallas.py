@@ -155,7 +155,7 @@ def _make_kernel(TB: int, TN: int, precision):
             col = cols_ref[p * TB + r]
             xb = x_ref[pl.ds(col * TN, TN), :]
             acc_ref[:] += lax.dot_general(
-                a_ref[r],
+                a_ref[r].astype(jnp.float32),
                 xb,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

@@ -80,6 +80,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def exact_in_bfloat16(data: np.ndarray) -> bool:
+    """True when every value round-trips bf16 losslessly (e.g. binary
+    adjacencies, small integers) — halving payload traffic is then free."""
+    import jax.numpy as jnp
+
+    d32 = np.asarray(data, dtype=np.float32)
+    return bool(np.array_equal(d32, np.asarray(d32.astype(jnp.bfloat16), dtype=np.float32)))
+
+
 def choose_slot_count(nnz_per_row: np.ndarray, max_r: int = 512) -> int:
     """Pick the per-virtual-row slot count R minimizing total slots in the
     first-chunk-identity layout: every row pays R identity slots; rows with

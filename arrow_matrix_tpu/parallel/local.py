@@ -189,7 +189,10 @@ def compile_local_plan(
 def _choose_format(Bt, k_hint, slots_per_row, force_format, dtype=np.float32):
     """Pick 'ell', 'bsr', or 'hybrid' for a level matrix and build it.
     ``dtype=jnp.bfloat16`` halves the BSR tile stream and the ELL value
-    traffic (values are rounded; accumulation stays float32)."""
+    traffic (values are rounded; accumulation stays float32). Measured on
+    v5e: bf16 payloads do NOT speed up the dense regimes (the MXU's
+    HIGHEST-precision passes dominate, not the tile stream), so bf16 stays
+    strictly opt-in."""
     fmt = force_format or preferred_format(Bt, k_hint)
     if fmt == "ell" and force_format is None:
         # Mixed structure: peel dense tiles onto the MXU when they hold a
