@@ -65,6 +65,32 @@ def _pad_csr(A: sparse.csr_matrix, rows: int, cols: int) -> sparse.csr_matrix:
     return out
 
 
+def _materialize_row_stripe(
+    triplet: tuple, row_start: int, n_rows: int, n_cols_pad: int
+) -> sparse.csr_matrix:
+    """Materialize rows [row_start, row_start + n_rows) of a (possibly
+    memory-mapped) CSR triplet as a (n_rows, n_cols_pad) csr_matrix; rows
+    beyond the matrix are empty."""
+    data_mm, indices_mm, indptr_mm = triplet
+    n = indptr_mm.shape[0] - 1
+    stop = min(row_start + n_rows, n)
+    real = max(stop - row_start, 0)
+    indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    if real > 0:
+        seg = np.asarray(indptr_mm[row_start : stop + 1], dtype=np.int64)
+        lo, hi = int(seg[0]), int(seg[-1])
+        indptr[: real + 1] = seg - lo
+        indptr[real + 1 :] = hi - lo
+        data = np.asarray(data_mm[lo:hi], dtype=np.float32)
+        indices = np.asarray(indices_mm[lo:hi])
+    else:
+        data = np.zeros(0, dtype=np.float32)
+        indices = np.zeros(0, dtype=np.int64)
+    return sparse.csr_matrix(
+        (data, indices, indptr), shape=(n_rows, n_cols_pad)
+    )
+
+
 class Spmm15D:
     """A-stationary 1.5D SpMM runner.
 
@@ -80,16 +106,25 @@ class Spmm15D:
 
     def __init__(
         self,
-        A: sparse.csr_matrix,
+        A,
         mesh: Mesh,
         slots_per_row: int | None = None,
     ):
+        """:param A: csr_matrix, or a (data, indices, indptr) triplet of
+        (possibly memory-mapped) arrays of a SQUARE matrix — the analogue of
+        the reference's memmap-aware decomposition
+        (reference: arrow/baseline/spmm_15d.py:158-309): blocks are built one
+        row stripe at a time, never materializing the full matrix."""
         assert set(mesh.axis_names) == {ROW_AXIS, REPL_AXIS}
         self.mesh = mesh
         p_div_c = mesh.shape[ROW_AXIS]
         c = mesh.shape[REPL_AXIS]
-        A = sparse.csr_matrix(A, dtype=np.float32)
-        NI, NK = A.shape
+        triplet = isinstance(A, tuple)
+        if triplet:
+            NI = NK = A[2].shape[0] - 1
+        else:
+            A = sparse.csr_matrix(A, dtype=np.float32)
+            NI, NK = A.shape
 
         # Uniform padded shard sizes: X holds s_in rows per device; Y holds
         # lNI rows per row-group; for square A the padded X and Y layouts
@@ -106,13 +141,26 @@ class Spmm15D:
 
         # Station A: device (i, j) holds A[i-th row block, j-th column group]
         # (reference scatters CSR triplets rank by rank, spmm_15d.py:86-117;
-        # here the blocks become one stacked ELL pytree placed once).
-        Apad = _pad_csr(A, self.NI_pad, self.NK_pad)
+        # here the blocks become one stacked ELL pytree placed once). With a
+        # triplet input each row stripe is materialized on its own from the
+        # memory-mapped arrays — peak host memory is one stripe, not the
+        # matrix (reference: spmm_15d.py:158-309).
         flat_blocks = []
-        for i in range(p_div_c):
-            for j in range(c):
-                blk = Apad[i * lNI : (i + 1) * lNI, j * lNK : (j + 1) * lNK].tocsr()
-                flat_blocks.append(blk)
+        if triplet:
+            for i in range(p_div_c):
+                stripe = _materialize_row_stripe(A, i * lNI, lNI, self.NK_pad)
+                for j in range(c):
+                    flat_blocks.append(
+                        stripe[:, j * lNK : (j + 1) * lNK].tocsr()
+                    )
+        else:
+            Apad = _pad_csr(A, self.NI_pad, self.NK_pad)
+            for i in range(p_div_c):
+                for j in range(c):
+                    blk = Apad[
+                        i * lNI : (i + 1) * lNI, j * lNK : (j + 1) * lNK
+                    ].tocsr()
+                    flat_blocks.append(blk)
         stacked = stack_ells_from_csr(flat_blocks, slots_per_row)  # (P, V, R)
         self.lA = stacked.replace(
             idx=stacked.idx.reshape((p_div_c, c) + stacked.idx.shape[1:]),

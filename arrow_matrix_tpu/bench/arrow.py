@@ -97,7 +97,7 @@ def bench_spmm(
             )
         else:
             plan = compile_local_plan(decomposition, width, k_hint=features)
-    nnz = sum(int(np.diff(m.indptr).sum()) for m, _ in decomposition)
+    nnz = sum(graphio.csr_nnz(m) for m, _ in decomposition)
 
     rng = np.random.default_rng(seed + 1)
     if n_devices > 1:

@@ -17,6 +17,7 @@ import jax
 
 from arrow_matrix_tpu.baselines import Spmm15D, grid_mesh
 from arrow_matrix_tpu.baselines.spmm_15d import replication_factor
+from arrow_matrix_tpu.io import graphio
 from arrow_matrix_tpu.io.generate import random_csr, random_dense
 from arrow_matrix_tpu.utils import metrics
 from arrow_matrix_tpu.utils.args import str2bool
@@ -26,7 +27,10 @@ from arrow_matrix_tpu.version import SPMM_15D_ALGO_VERSION
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", choices=["random", "file"], default="random")
-    p.add_argument("--file", type=str, default=None, help=".npz matrix path")
+    p.add_argument("--file", type=str, default=None,
+                   help=".npz matrix path, or a prefix of memory-mapped "
+                        "{prefix}_indptr/_indices[/_data].npy triplets "
+                        "(reference: scripts/spmm_15d_main.py:114-120)")
     p.add_argument("-v", "--vertices", type=int, default=100_000)
     p.add_argument("-e", "--edges", type=int, default=1_000_000)
     p.add_argument("-c", "--columns", type=int, default=128)
@@ -43,9 +47,25 @@ def main(argv=None):
         raise SystemExit(f"devices ({n_dev}) must be divisible by replication ({c})")
 
     if args.dataset == "file":
+        import os
+
         from scipy import sparse
 
-        A = sparse.load_npz(args.file).tocsr()
+        if args.file.endswith(".npz"):
+            A = sparse.load_npz(args.file).tocsr()
+        else:
+            # Memory-mapped npy triplet prefix; a missing _data.npy means an
+            # unweighted matrix (reference: scripts/spmm_15d_main.py:114-120).
+            mm = lambda p: np.lib.format.open_memmap(p, mode="r")
+            indptr = mm(f"{args.file}_indptr.npy")
+            indices = mm(f"{args.file}_indices.npy")
+            data_path = f"{args.file}_data.npy"
+            data = (
+                mm(data_path)
+                if os.path.exists(data_path)
+                else np.ones(indices.shape[0], dtype=np.float32)
+            )
+            A = (data, indices, indptr)
         dataset = args.file
     else:
         nnz_per_row = max(1, args.edges // args.vertices)
@@ -65,13 +85,14 @@ def main(argv=None):
     )
 
     runner = Spmm15D(A, grid_mesh(n_dev // c, c))
-    X = random_dense(A.shape[1], args.columns, seed=1)
+    nnz = graphio.csr_nnz(A)
+    X = random_dense(runner.NK, args.columns, seed=1)
     x = runner.distribute(X)
     y = runner.spmm(x)
     jax.block_until_ready(y)
 
     if args.validate:
-        ref = A @ X
+        ref = graphio.as_csr(A) @ X
         got = runner.collect(y)
         rel = np.linalg.norm(got - ref) / max(1e-30, np.linalg.norm(ref))
         print(f"validation relative error: {rel:.3e}")
@@ -91,8 +112,8 @@ def main(argv=None):
     med = float(np.median(times))
     print(json.dumps({
         "median_spmm_time": med,
-        "nnz": int(A.nnz),
-        "nnz_per_s": A.nnz / med,
+        "nnz": nnz,
+        "nnz_per_s": nnz / med,
         "replication": c,
     }))
 

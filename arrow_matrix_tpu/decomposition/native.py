@@ -21,9 +21,32 @@ _lib = None
 AVAILABLE = False
 
 
+def _build():
+    """Best-effort build of the shared library from source (the .so is not
+    version-controlled; it is platform-specific and unreviewable)."""
+    src_dir = os.path.dirname(_LIB_PATH)
+    if not os.path.exists(os.path.join(src_dir, "arrowcore.cpp")):
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", src_dir],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass
+
+
 def _load():
     global _lib, AVAILABLE
-    if _lib is not None or not os.path.exists(_LIB_PATH):
+    if _lib is not None:
+        return
+    if not os.path.exists(_LIB_PATH):
+        _build()
+    if not os.path.exists(_LIB_PATH):
         return
     try:
         _lib = ctypes.CDLL(_LIB_PATH)

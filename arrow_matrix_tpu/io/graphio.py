@@ -16,8 +16,10 @@ decompositions produced by either library are interchangeable on disk:
 from __future__ import annotations
 
 import enum
+import glob as _glob
 import os
 import pickle
+import re
 from typing import Any, List, Optional, Union
 
 import numpy as np
@@ -62,14 +64,75 @@ def format_path(
     return path + _SUFFIX[file_type]
 
 
+def _level_path(
+    filename: str,
+    width: Optional[int],
+    index: int,
+    block_diagonal: bool,
+    file_type: DecompositionFileType,
+) -> Optional[str]:
+    """Resolve level ``index``'s file: first under the requested ``width``,
+    then under ANY width (``{base}_B_<w>_{index}[_bd]{suffix}``) — reference
+    decompositions key each level on its own arrow width (reference:
+    graphio.py:140-160), and a best-effort last level commonly exceeds the
+    requested width on power-law graphs. Returns None when absent or
+    ambiguous."""
+    path = format_path(filename, width, index, block_diagonal, file_type)
+    if os.path.exists(path):
+        return path
+    bd = "_bd" if block_diagonal else ""
+    suffix = _SUFFIX[file_type]
+    rx = re.compile(
+        re.escape(os.path.basename(filename))
+        + r"_B_(\d+)_"
+        + str(index)
+        + re.escape(bd + suffix)
+        + "$"
+    )
+    matches = [
+        m
+        for m in _glob.glob(f"{filename}_B_*_{index}{bd}{suffix}")
+        if rx.search(os.path.basename(m))
+    ]
+    return matches[0] if len(matches) == 1 else None
+
+
+def _expected_levels(
+    filename: str, width: Optional[int], block_diagonal: bool
+) -> Optional[int]:
+    """Level count recorded in ``_nnzrows.npy`` at save time, or None when the
+    file is absent (e.g. a reference-written decomposition)."""
+    path = format_path(
+        filename, width, 0, block_diagonal, DecompositionFileType.nonzero_rows_npy
+    )
+    if not os.path.exists(path):
+        return None
+    return int(np.load(path).shape[0])
+
+
+def _check_level_count(
+    filename: str, width: Optional[int], block_diagonal: bool, loaded: int
+) -> None:
+    """Raise when fewer levels were found on disk than the save recorded —
+    computing ``A @ X`` against a truncated operator is silent corruption."""
+    expected = _expected_levels(filename, width, block_diagonal)
+    if expected is not None and loaded < expected:
+        raise ValueError(
+            f"decomposition '{filename}' (width {width}): found {loaded} "
+            f"level(s) on disk but the save recorded {expected}; level files "
+            "are missing or saved under a different arrow width"
+        )
+
+
 def decomposition_size(filename: str, width: int, block_diagonal: bool) -> int:
     """Number of levels present on disk, probed via permutation files
     (reference: graphio.py:120-128)."""
     i = 0
-    while os.path.exists(
-        format_path(
+    while (
+        _level_path(
             filename, width, i, block_diagonal, DecompositionFileType.permutation_npy
         )
+        is not None
     ):
         i += 1
     return i
@@ -90,20 +153,21 @@ def save_decomposition(
             pickle.dump(A, f)
         sparse.save_npz(f"{filename}_A.npz", sparse.csr_matrix(A, dtype=dtype))
 
-    width = 0
+    # Every level is keyed on the FIRST level's width: loaders (ours and the
+    # reference's, graphio.py:194-248) probe with a single width, and a
+    # best-effort last level may exceed the requested width — saving it under
+    # its own width would silently hide it from every loader.
+    width = decomposition[0].arrow_width if decomposition else 0
     for i, ag in enumerate(decomposition):
         B = sparse.csr_matrix(ag.matrix, dtype=dtype)
-        width = ag.arrow_width
         sparse.save_npz(
-            format_path(
-                filename, ag.arrow_width, i, block_diagonal, DecompositionFileType.npz
-            ),
+            format_path(filename, width, i, block_diagonal, DecompositionFileType.npz),
             B,
         )
         np.save(
             format_path(
                 filename,
-                ag.arrow_width,
+                width,
                 i,
                 block_diagonal,
                 DecompositionFileType.permutation_npy,
@@ -135,10 +199,11 @@ def save_decomposition_new(
         np.save(f"{filename}_A_indices.npy", A.indices)
         np.save(f"{filename}_A_data.npy", A.data)
 
-    first_width = 0
+    # Uniform width keying — see save_decomposition.
+    first_width = decomposition[0].arrow_width if decomposition else 0
     for i, ag in enumerate(decomposition):
         B = sparse.csr_matrix(ag.matrix, dtype=dtype)
-        w = ag.arrow_width
+        w = first_width
         np.save(
             format_path(filename, w, i, block_diagonal, DecompositionFileType.indptr_npy),
             B.indptr,
@@ -159,8 +224,6 @@ def save_decomposition_new(
             ),
             np.asarray(ag.permutation),
         )
-        if i == 0:
-            first_width = w
 
     nonzero_rows = np.asarray([ag.nonzero_rows for ag in decomposition], dtype=np.int64)
     np.save(
@@ -188,12 +251,12 @@ def load_decomposition(
     decomposition = []
     for i in range(decomposition_size(filename, width, block_diagonal)):
         B = sparse.load_npz(
-            format_path(filename, width, i, block_diagonal, DecompositionFileType.npz)
+            _level_path(filename, width, i, block_diagonal, DecompositionFileType.npz)
         )
         permutation = None
         if not no_permutation:
             permutation = np.load(
-                format_path(
+                _level_path(
                     filename,
                     width,
                     i,
@@ -202,6 +265,7 @@ def load_decomposition(
                 )
             )
         decomposition.append((B, permutation))
+    _check_level_count(filename, width, block_diagonal, len(decomposition))
     return decomposition
 
 
@@ -224,50 +288,73 @@ def load_decomposition_new(
     decomposition = []
     i = 0
     while True:
-        try:
-            indptr = _load(
-                format_path(
-                    filename, width, i, block_diagonal, DecompositionFileType.indptr_npy
-                )
+        indptr_path = _level_path(
+            filename, width, i, block_diagonal, DecompositionFileType.indptr_npy
+        )
+        if indptr_path is None:
+            break
+        indptr = _load(indptr_path)
+        indices = _load(
+            _level_path(
+                filename, width, i, block_diagonal, DecompositionFileType.indices_npy
             )
-            indices = _load(
-                format_path(
+        )
+        data_path = _level_path(
+            filename, width, i, block_diagonal, DecompositionFileType.data_npy
+        )
+        if data_path is not None:
+            data = _load(data_path)
+        else:
+            data = np.ones(indices.size, dtype=np.float32)
+        n = indptr.size - 1
+        B: Any = (
+            (data, indices, indptr)
+            if mem_map
+            else sparse.csr_matrix((data, indices, indptr), shape=(n, n))
+        )
+        permutation = None
+        if not no_permutation:
+            permutation = np.load(
+                _level_path(
                     filename,
                     width,
                     i,
                     block_diagonal,
-                    DecompositionFileType.indices_npy,
+                    DecompositionFileType.permutation_npy,
                 )
             )
-            data_path = format_path(
-                filename, width, i, block_diagonal, DecompositionFileType.data_npy
-            )
-            if os.path.exists(data_path):
-                data = _load(data_path)
-            else:
-                data = np.ones(indices.size, dtype=np.float32)
-            n = indptr.size - 1
-            B: Any = (
-                (data, indices, indptr)
-                if mem_map
-                else sparse.csr_matrix((data, indices, indptr), shape=(n, n))
-            )
-            permutation = None
-            if not no_permutation:
-                permutation = np.load(
-                    format_path(
-                        filename,
-                        width,
-                        i,
-                        block_diagonal,
-                        DecompositionFileType.permutation_npy,
-                    )
-                )
-        except FileNotFoundError:
-            break
         decomposition.append((B, permutation))
         i += 1
+    _check_level_count(filename, width, block_diagonal, len(decomposition))
     return decomposition
+
+
+def csr_nnz(m) -> int:
+    """Nonzero count of a loaded level — a csr_matrix or a memory-mapped
+    ``(data, indices, indptr)`` triplet (``load_decomposition_new`` with
+    ``mem_map=True``) — without materializing the triplet."""
+    if isinstance(m, tuple):
+        return int(m[2][-1])
+    return int(m.nnz)
+
+
+def as_csr(m, dtype=np.float32) -> sparse.csr_matrix:
+    """Materialize a loaded level as a square csr_matrix; accepts a
+    csr_matrix or a ``(data, indices, indptr)`` (possibly memory-mapped)
+    triplet. The explicit square shape matters: scipy would otherwise infer
+    the column count from the maximum index present."""
+    if isinstance(m, tuple):
+        data, indices, indptr = m
+        n = indptr.shape[0] - 1
+        return sparse.csr_matrix(
+            (
+                np.asarray(data, dtype=dtype),
+                np.asarray(indices),
+                np.asarray(indptr),
+            ),
+            shape=(n, n),
+        )
+    return sparse.csr_matrix(m, dtype=dtype)
 
 
 def split_matrix_to_blocks(

@@ -80,15 +80,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def exact_in_bfloat16(data: np.ndarray) -> bool:
-    """True when every value round-trips bf16 losslessly (e.g. binary
-    adjacencies, small integers) — halving payload traffic is then free."""
-    import jax.numpy as jnp
-
-    d32 = np.asarray(data, dtype=np.float32)
-    return bool(np.array_equal(d32, np.asarray(d32.astype(jnp.bfloat16), dtype=np.float32)))
-
-
 def choose_slot_count(nnz_per_row: np.ndarray, max_r: int = 512) -> int:
     """Pick the per-virtual-row slot count R minimizing total slots in the
     first-chunk-identity layout: every row pays R identity slots; rows with
@@ -313,11 +304,4 @@ def stack_ells_from_csr(
         n_rows=max(m.n_rows for m in mats),
         n_cols=max(m.n_cols for m in mats),
         stage_inputs=m0.stage_inputs,
-    )
-
-
-def stack_ells(mats: list[EllMat]) -> EllMat:
-    """Deprecated shim — rebuild via :func:`stack_ells_from_csr` instead."""
-    raise NotImplementedError(
-        "stack_ells(EllMat list) was replaced by stack_ells_from_csr(csr list)"
     )

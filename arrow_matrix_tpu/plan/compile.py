@@ -166,7 +166,9 @@ def compile_plan(
         structure (head panels + diagonal ± band) or need more blocks than
         devices.
     """
-    mats = [sparse.csr_matrix(d[0], dtype=np.float32) for d in decomposition]
+    from arrow_matrix_tpu.io.graphio import as_csr
+
+    mats = [as_csr(d[0]) for d in decomposition]
     perms = [np.asarray(d[1], dtype=np.int64) for d in decomposition]
     n = mats[0].shape[0]
     q = n_devices

@@ -29,7 +29,8 @@ def main():
     p.add_argument("--features", type=int, default=16)
     p.add_argument("--iterations", type=int, default=50)
     p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--blocks", type=int, default=8)
+    p.add_argument("--blocks", type=int, default=None,
+                   help="block count for the local plan (default: ceil(n/width))")
     args = p.parse_args()
 
     import jax
@@ -62,7 +63,9 @@ def main():
         block_diagonal=True,
         seed=2,
     )
-    plan = compile_local_plan(decomp, args.width, k_hint=args.features)
+    plan = compile_local_plan(
+        decomp, args.width, n_blocks=args.blocks, k_hint=args.features
+    )
     nnz = sum(int(lvl.matrix.nnz) for lvl in decomp)
 
     x0 = rng.random((plan.padded_rows, args.features), dtype=np.float32)

@@ -30,6 +30,22 @@ def test_15d_product(p_div_c, c):
     np.testing.assert_allclose(runner.collect(y), A @ X, rtol=1e-4, atol=1e-4)
 
 
+def test_15d_triplet_input_matches_csr():
+    # Memory-mapped-style (data, indices, indptr) input builds blocks one row
+    # stripe at a time (reference: arrow/baseline/spmm_15d.py:158-309) and
+    # must produce the same result as the materialized path.
+    A = random_csr(192, 192, 6, seed=9)
+    X = random_dense(192, 8, seed=4)
+    mesh = grid_mesh(4, 2)
+    y_csr = Spmm15D(A, mesh)
+    got_csr = y_csr.collect(y_csr.spmm(y_csr.distribute(X)))
+    triplet = (A.data, A.indices, A.indptr)
+    y_tri = Spmm15D(triplet, mesh)
+    got_tri = y_tri.collect(y_tri.spmm(y_tri.distribute(X)))
+    np.testing.assert_allclose(got_tri, got_csr, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_tri, A @ X, rtol=1e-4, atol=1e-4)
+
+
 def test_15d_rectangular():
     A = random_csr(120, 260, 5, seed=1)
     X = random_dense(260, 8, seed=2)

@@ -86,6 +86,98 @@ def test_bench_spmm_from_path(tmp_path):
     assert stats["levels"] == len(decomp)
 
 
+def test_bench_spmm_mmap_path(tmp_path):
+    from arrow_matrix_tpu.bench import bench_spmm
+
+    A = barabasi_albert(128, 3, seed=5)
+    decomp = arrow_decomposition(A, 33, max_number_of_levels=100,
+                                 block_diagonal=True, seed=0)
+    base = str(tmp_path / "g")
+    graphio.save_decomposition_new(A, decomp, base, block_diagonal=True)
+    stats = bench_spmm(
+        path=base, width=33, features=4, iterations=1, n_devices=1,
+        use_mmap=True, log_dir=str(tmp_path),
+    )
+    assert stats["levels"] == len(decomp)
+    assert stats["nnz"] == sum(int(g.matrix.nnz) for g in decomp)
+
+
+def test_mixed_width_levels_load_fully(tmp_path):
+    # Power-law graphs commonly produce a best-effort last level whose arrow
+    # width exceeds the requested width; loaders key on ONE width, so the
+    # save must not hide deeper levels behind their own widths (previously
+    # 40% of nonzeros silently dropped).
+    from arrow_matrix_tpu.decomposition.arrow import ArrowGraph
+
+    rng = np.random.default_rng(3)
+    n = 64
+    B0 = sparse.random(n, n, density=0.05, random_state=rng, format="csr")
+    B1 = sparse.random(n, n, density=0.05, random_state=rng, format="csr")
+    decomp = [
+        ArrowGraph(B0, np.arange(n), 16, n),
+        ArrowGraph(B1, np.arange(n), 47, n),  # wider best-effort level
+    ]
+    base = str(tmp_path / "mixed")
+    graphio.save_decomposition_new(None, decomp, base)
+    loaded = graphio.load_decomposition_new(base, 16)
+    assert len(loaded) == 2
+    np.testing.assert_allclose(loaded[1][0].toarray(), B1.toarray(), rtol=1e-6)
+
+    # Reference-written layout: each level under its own width. The glob
+    # fallback must still find level 1.
+    base2 = str(tmp_path / "refstyle")
+    for i, (ag, w) in enumerate(zip(decomp, (16, 47))):
+        B = sparse.csr_matrix(ag.matrix, dtype=np.float32)
+        for ft, arr in (
+            (graphio.DecompositionFileType.indptr_npy, B.indptr),
+            (graphio.DecompositionFileType.indices_npy, B.indices),
+            (graphio.DecompositionFileType.data_npy, B.data),
+            (graphio.DecompositionFileType.permutation_npy, ag.permutation),
+        ):
+            np.save(graphio.format_path(base2, w, i, True, ft), arr)
+    loaded2 = graphio.load_decomposition_new(base2, 16)
+    assert len(loaded2) == 2
+
+
+def test_missing_level_raises(tmp_path):
+    from arrow_matrix_tpu.decomposition.arrow import ArrowGraph
+
+    rng = np.random.default_rng(4)
+    n = 32
+    decomp = [
+        ArrowGraph(
+            sparse.random(n, n, density=0.1, random_state=rng, format="csr"),
+            np.arange(n), 8, n,
+        )
+        for _ in range(2)
+    ]
+    base = str(tmp_path / "broken")
+    graphio.save_decomposition_new(None, decomp, base)
+    os.remove(
+        graphio.format_path(
+            base, 8, 1, True, graphio.DecompositionFileType.indptr_npy
+        )
+    )
+    with pytest.raises(ValueError, match="recorded 2"):
+        graphio.load_decomposition_new(base, 8)
+
+
+def test_csr_nnz_and_as_csr_triplet(tmp_path):
+    A = barabasi_albert(64, 3, seed=7)
+    decomp = arrow_decomposition(A, 17, max_number_of_levels=100,
+                                 block_diagonal=True, seed=0)
+    base = str(tmp_path / "t")
+    graphio.save_decomposition_new(A, decomp, base)
+    mm = graphio.load_decomposition_new(base, 17, mem_map=True)
+    mat = graphio.load_decomposition_new(base, 17)
+    for (t, _), (m, _) in zip(mm, mat):
+        assert isinstance(t, tuple)
+        assert graphio.csr_nnz(t) == graphio.csr_nnz(m) == m.nnz
+        np.testing.assert_array_equal(
+            graphio.as_csr(t).toarray(), graphio.as_csr(m).toarray()
+        )
+
+
 def test_cli_decompose_roundtrip(tmp_path):
     from arrow_matrix_tpu.cli import decompose
 
