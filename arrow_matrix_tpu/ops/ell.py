@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from arrow_matrix_tpu.ops.formats import EllMat
+from arrow_matrix_tpu.ops.formats import CompactEll, EllMat
 
 
 def _zero_row(x: jnp.ndarray) -> jnp.ndarray:
@@ -63,3 +63,13 @@ def ell_spmm(A: EllMat, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     (buf,) = jax.lax.optimization_barrier((buf,))
     y = base + jnp.take(buf, final[:, 0], axis=0)
     return y.astype(x.dtype)
+
+
+def compact_ell_spmm(A: CompactEll, x: jnp.ndarray) -> jnp.ndarray:
+    """Multiply a (single, unstacked) :class:`CompactEll` by a dense
+    (n_cols, k) matrix: inner SpMM over occupied rows, then a row-expansion
+    gather to (n_rows, k) (empty rows read the appended zero row)."""
+    y = ell_spmm(A.inner, x)  # (occ_pad, k)
+    yz = _zero_row(y)
+    (yz,) = jax.lax.optimization_barrier((yz,))
+    return jnp.take(yz, A.row_map, axis=0)

@@ -80,6 +80,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@struct.dataclass
+class CompactEll:
+    """Row-compressed ELL: the inner :class:`EllMat` covers only OCCUPIED
+    rows, and a final (n_rows,) gather expands to the full row range (empty
+    rows read an appended zero row).
+
+    The first-chunk-identity layout of :class:`EllMat` pays ``n_rows * R``
+    slots regardless of occupancy — the right trade for one merged matrix,
+    but ruinous for arrow *blocks*: a width-25k block with 4 nonzeros would
+    gather 200k rows. Here slots are proportional to occupied rows; the
+    row-expansion gather reads a small (occupied-rows-sized) source at the
+    gather engine's fast rate.
+    """
+
+    inner: EllMat
+    # (n_rows,) int32 (optionally stacked (q, n_rows)): occupied-row position
+    # of each full row, or ``inner.n_rows`` (the appended zero row) if empty.
+    row_map: np.ndarray
+    n_rows: int = struct.field(pytree_node=False)
+    n_cols: int = struct.field(pytree_node=False)
+
+
 def choose_slot_count(nnz_per_row: np.ndarray, max_r: int = 512) -> int:
     """Pick the per-virtual-row slot count R minimizing total slots in the
     first-chunk-identity layout: every row pays R identity slots; rows with
@@ -305,3 +327,78 @@ def stack_ells_from_csr(
         n_cols=max(m.n_cols for m in mats),
         stage_inputs=m0.stage_inputs,
     )
+
+
+def _occupied_submatrix(
+    A: sparse.csr_matrix, occ_pad: int | None = None
+) -> tuple[sparse.csr_matrix, np.ndarray, int]:
+    """(occupied-rows submatrix padded to ``occ_pad`` rows, row_map, occ)."""
+    A = A.tocsr()
+    nnz_per_row = np.diff(A.indptr)
+    occ_rows = np.flatnonzero(nnz_per_row)
+    occ = occ_rows.size
+    pad = occ_pad if occ_pad is not None else max(occ, 1)
+    assert pad >= occ
+    Ac = A[occ_rows]
+    Ac.resize((pad, A.shape[1]))
+    row_map = np.full(A.shape[0], pad, dtype=np.int32)  # pad == zero row
+    row_map[occ_rows] = np.arange(occ, dtype=np.int32)
+    return Ac.tocsr(), row_map, occ
+
+
+def compact_ell_from_csr(
+    A: sparse.csr_matrix,
+    slots_per_row: int | None = None,
+    dtype=np.float32,
+    occ_pad: int | None = None,
+    **ell_kw,
+) -> CompactEll:
+    """Convert a scipy CSR matrix into :class:`CompactEll`."""
+    A = A.tocsr()
+    Ac, row_map, _ = _occupied_submatrix(A, occ_pad)
+    inner = ell_from_csr(Ac, slots_per_row, dtype, **ell_kw)
+    return CompactEll(
+        inner=inner, row_map=row_map, n_rows=A.shape[0], n_cols=A.shape[1]
+    )
+
+
+def stack_compact_ells_from_csr(
+    blocks: list[sparse.csr_matrix],
+    slots_per_row: int | None = None,
+    dtype=np.float32,
+) -> CompactEll:
+    """(q, ...)-stacked :class:`CompactEll` with a COMMON static structure
+    (shared occupied-row padding, slot count and combine-chain shapes), for
+    per-device execution under shard_map."""
+    occ_pad = max(
+        max(int((np.diff(b.tocsr().indptr) > 0).sum()) for b in blocks), 1
+    )
+    padded = [_occupied_submatrix(b, occ_pad) for b in blocks]
+    inner = stack_ells_from_csr([p[0] for p in padded], slots_per_row, dtype)
+    row_maps = np.stack([p[1] for p in padded]).astype(np.int32)
+    return CompactEll(
+        inner=inner,
+        row_map=row_maps,
+        n_rows=max(b.shape[0] for b in blocks),
+        n_cols=max(b.shape[1] for b in blocks),
+    )
+
+
+def ell_cost_rows(A: sparse.csr_matrix) -> tuple[int, int]:
+    """Estimated gathered rows for the full-identity vs compact layouts of
+    ``A`` — the gather engine is the bottleneck, so gathered rows ≈ cost.
+    Returns (full_rows, compact_rows)."""
+    A = A.tocsr()
+    nnz_per_row = np.diff(A.indptr).astype(np.int64)
+    occ = int((nnz_per_row > 0).sum())
+
+    def slots(rows_nnz, n_rows):
+        if n_rows == 0:
+            return 0
+        R = choose_slot_count(rows_nnz)
+        extra = np.maximum(rows_nnz - R, 0)
+        return n_rows * R + int((-(-extra // R) * R).sum())
+
+    full = slots(nnz_per_row, A.shape[0])
+    compact = slots(nnz_per_row[nnz_per_row > 0], occ) + A.shape[0]
+    return full, compact

@@ -1,3 +1,4 @@
 from arrow_matrix_tpu.parallel.arrow_spmm import ArrowSpmm, block_mesh
+from arrow_matrix_tpu.parallel.blocked import blocked_step, compile_blocked_plan
 
-__all__ = ["ArrowSpmm", "block_mesh"]
+__all__ = ["ArrowSpmm", "block_mesh", "blocked_step", "compile_blocked_plan"]

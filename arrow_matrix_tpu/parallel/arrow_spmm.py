@@ -1,25 +1,37 @@
-"""Distributed iterated arrow SpMM over a device mesh.
+"""Distributed iterated arrow SpMM over a device mesh (sharded-head design).
 
 This is the TPU-native re-design of the reference's whole MPI runtime stack —
 ``ArrowDecompositionMPI.step`` (reference: arrow/arrow_dec_mpi.py:283-307),
 ``ArrowSlimMPI._arrow_spmm`` (reference: arrow/arrow_slim_mpi.py:78-156,
 246-280) and the banded halo path of ``ArrowMPI`` (reference:
 arrow/arrow_mpi.py:123-223) — as ONE jit-compiled function over a
-``jax.sharding.Mesh`` with a single "block" axis:
+``jax.sharding.Mesh`` with a single "block" axis.
 
-* MPI ``Bcast(X_0)`` + ``Reduce(C_0)`` (reference: arrow_slim_mpi.py:273,116)
-  fuse into a single ``lax.psum`` of the stacked pair [X_0-masked, A_0j X_j]:
-  one collective delivers both the head features and the reduced head result
-  to every device;
-* the banded ±1 halo Isend/Irecv ring (reference: arrow_mpi.py:123-175)
-  becomes two ``lax.ppermute`` shifts;
-* the inter-level ragged ``Ialltoallv`` feature propagation / aggregation
-  (reference: arrow_dec_mpi.py:404-610) becomes static-shape
-  ``lax.all_to_all`` driven by precomputed :class:`RouteTables`;
-* the MPI overlap of communication with compute (nonblocking requests) falls
-  out automatically: all levels live in one XLA program, their collectives
-  are independent until the final accumulation, and the scheduler overlaps
-  them with the ELL kernels.
+The head exchange is the communication-volume-critical piece. The reference's
+``Bcast(X_0)`` + ``Reduce(C_0)`` costs ~2·width·k sent per rank per level
+(reference: arrow_slim_mpi.py:273,116); a masked-psum emulation would cost
+~4·width·k (allreduce sends twice per element). Matching the reference's
+volume on TPU requires block 0's features to live SHARDED across all q
+devices as iteration state:
+
+* ``Bcast(X_0)``  ->  ``lax.all_gather`` of the (width/q)-row shards:
+  ~width·k sent per device, and every device ends holding the replica the
+  column panels need anyway;
+* ``Reduce(C_0)`` ->  ``lax.psum_scatter`` of the per-device head partials:
+  ~width·k sent per device, and the result lands already sharded — exactly
+  the next iteration's input layout. No root hot-spot, collectives ride the
+  full ICI bisection.
+
+Block j >= 1 lives whole on device j (slim layout, one device per block row,
+reference: arrow/arrow_slim_mpi.py:298-326). The banded ±1 halo
+Isend/Irecv ring (reference: arrow_mpi.py:123-175) is two ``lax.ppermute``
+shifts. The inter-level ragged ``Ialltoallv`` propagation/aggregation
+(reference: arrow_dec_mpi.py:404-610) is a static-shape ``lax.all_to_all``
+driven by :class:`ShardedRouteTables`; rows sourced in block 0 are read from
+the all_gathered replica and never enter the collective. MPI's comm/compute
+overlap (nonblocking requests) falls out automatically: all levels live in
+one XLA program and the scheduler overlaps their independent collectives
+with the local kernels.
 
 Iteration semantics match the reference exactly: after ``step``, the features
 in level-0 permuted order have been replaced by ``A @ X`` (reference
@@ -38,9 +50,10 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from arrow_matrix_tpu.ops.bsr_pallas import BsrMat, bsr_spmm
-from arrow_matrix_tpu.ops.ell import ell_spmm
+from arrow_matrix_tpu.ops.ell import compact_ell_spmm, ell_spmm
+from arrow_matrix_tpu.ops.formats import CompactEll
 from arrow_matrix_tpu.plan.compile import ArrowPlan, LevelPlan
-from arrow_matrix_tpu.plan.routing import RouteTables
+from arrow_matrix_tpu.plan.routing import ShardedRouteTables
 
 AXIS = "block"
 
@@ -67,7 +80,10 @@ def _local(m):
             tiles_data=m.tiles_data[0],
             tiles_col=m.tiles_col[0],
             prog_rows=m.prog_rows[0],
+            row_occupied=m.row_occupied[0],
         )
+    if isinstance(m, CompactEll):
+        return m.replace(inner=_local(m.inner), row_map=m.row_map[0])
     return m.replace(
         idx=m.idx[0],
         val=m.val[0],
@@ -75,24 +91,25 @@ def _local(m):
     )
 
 
-def _route_local(rt: RouteTables) -> RouteTables:
+def _route_local(rt: ShardedRouteTables) -> ShardedRouteTables:
     return rt.replace(
-        send_idx=rt.send_idx[0],
-        recv_idx=rt.recv_idx[0],
+        fwd_send=rt.fwd_send[0],
         fwd_gather=rt.fwd_gather[0],
+        fwd0_gather=rt.fwd0_gather[0],
+        bwd_send=rt.bwd_send[0],
         bwd_gather=rt.bwd_gather[0],
+        bwd0_gather=rt.bwd0_gather[0],
     )
 
 
 def _zero_pad_rows(x: jnp.ndarray) -> jnp.ndarray:
-    """Append one zero row: index ``width`` becomes a safe gather target for
-    padding slots in the routing tables."""
+    """Append one zero row: a safe gather target for padding slots."""
     return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
 
 
 def _apply_block(m, x: jnp.ndarray, width: int) -> jnp.ndarray:
     """Multiply one (width x width-ish) block by (width, k) features,
-    dispatching to the gather-ELL or Pallas BSR kernel."""
+    dispatching to the gather-ELL, compact-ELL or Pallas BSR kernel."""
     m = _local(m)
     if isinstance(m, BsrMat):
         pad = m.n_col_tiles * m.tile_n - x.shape[0]
@@ -101,75 +118,111 @@ def _apply_block(m, x: jnp.ndarray, width: int) -> jnp.ndarray:
                 [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0
             )
         return bsr_spmm(m, x)[:width].astype(x.dtype)
+    if isinstance(m, CompactEll):
+        return compact_ell_spmm(m, x)
     return ell_spmm(m, x)
 
 
-def _level_spmm(lvl: LevelPlan, x: jnp.ndarray, width: int) -> jnp.ndarray:
-    """One arrow matrix SpMM; x is this device's (width, k) feature block in
-    the level's permuted order; returns this device's (width, k) result block.
+def _level_spmm(
+    lvl: LevelPlan,
+    x_loc: jnp.ndarray,
+    x0_full: jnp.ndarray,
+    width: int,
+    w_q: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One arrow-matrix SpMM in the sharded-head layout.
 
-    Block 0's result is the reduced head-row product sum_j A_0j X_j; block
-    j>0's is A_jj X_j + A_j0 X_0 (+ banded neighbor terms)
-    (reference: arrow/arrow_slim_mpi.py:78-156, arrow/arrow_mpi.py:177-299).
+    :param x_loc: (width, k) — this device's block-j features (zeros on
+        device 0, whose block lives sharded).
+    :param x0_full: (w0 >= width, k) — the all_gathered block-0 features.
+    :return: (c0_shard (w_q, k), c_loc (width, k)) — this device's shard of
+        the reduced head result sum_j A_0j X_j, and its block result
+        C_j = A_jj X_j + A_j0 X_0 (+ banded neighbor terms)
+        (reference: arrow/arrow_slim_mpi.py:78-156, arrow/arrow_mpi.py:177-299).
     """
     j = lax.axis_index(AXIS)
+    q = lax.axis_size(AXIS)
+    w0 = q * w_q
 
-    head_partial = _apply_block(lvl.head, x, width)  # A_0j @ X_j
+    x_head = jnp.where(j == 0, x0_full[:width], x_loc)
+    head_partial = _apply_block(lvl.head, x_head, width)  # A_0j @ X_j
+    hp = jnp.concatenate(
+        [head_partial, jnp.zeros((w0 - width, x_loc.shape[1]), x_loc.dtype)],
+        axis=0,
+    )
+    # Reduce(C_0) -> psum_scatter: the reduced head result lands sharded,
+    # which is exactly the next all_gather's input layout.
+    c0_shard = lax.psum_scatter(hp, AXIS, scatter_dimension=0, tiled=True)
 
-    # Fused Bcast(X_0) + Reduce(C_0): one psum carries both.
-    x0_masked = jnp.where(j == 0, x, jnp.zeros_like(x))
-    packed = lax.psum(jnp.concatenate([x0_masked, head_partial], axis=0), AXIS)
-    x_0, c_0 = packed[:width], packed[width:]
-
-    c_j = _apply_block(lvl.diag, x, width) + _apply_block(lvl.col, x_0, width)
+    c_loc = _apply_block(lvl.diag, x_loc, width) + _apply_block(
+        lvl.col, x0_full[:width], width
+    )
 
     if lvl.band_lo is not None:
-        q = lax.axis_size(AXIS)
         fwd = [(d, d + 1) for d in range(q - 1)]  # x_{j-1} arrives at j
         bwd = [(d + 1, d) for d in range(q - 1)]  # x_{j+1} arrives at j
-        x_lo = lax.ppermute(x, AXIS, fwd)
-        x_hi = lax.ppermute(x, AXIS, bwd)
-        c_j = c_j + _apply_block(lvl.band_lo, x_lo, width)
-        c_j = c_j + _apply_block(lvl.band_hi, x_hi, width)
+        x_lo = lax.ppermute(x_loc, AXIS, fwd)
+        x_hi = lax.ppermute(x_loc, AXIS, bwd)
+        c_loc = c_loc + _apply_block(lvl.band_lo, x_lo, width)
+        c_loc = c_loc + _apply_block(lvl.band_hi, x_hi, width)
 
-    return jnp.where(j == 0, c_0, c_j)
+    return c0_shard, c_loc
 
 
-def _route_forward(rt: RouteTables, x: jnp.ndarray) -> jnp.ndarray:
+def _route_forward(
+    rt: ShardedRouteTables, x_loc: jnp.ndarray, x0_full: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Re-shard features from level-0 order into a level's order
     (reference: arrow_dec_mpi.py:507-610 ``_propagate_features_forwards``).
 
-    Gather-only: received slots and local rows are assembled through the
-    precomputed inverse table ``fwd_gather`` — no scatter (TPU scatters
-    serialize and dominate the step)."""
-    k = x.shape[1]
-    xp = _zero_pad_rows(x)  # (w+1, k)
-    send = jnp.take(xp, rt.send_idx, axis=0)  # (q, M, k)
+    Gather-only (TPU scatters serialize): send-side slot gathers feed one
+    fixed-shape all_to_all; the receive side assembles through precomputed
+    inverse tables from ``[x_loc ; x0_full ; received ; zero]``. Rows whose
+    source lies in block 0 read the local replica — no wire traffic.
+
+    :return: (x_i_loc (width, k), x_i0_shard (w_q, k)).
+    """
+    k = x_loc.shape[1]
+    xp = _zero_pad_rows(x_loc)  # (w+1, k)
+    send = jnp.take(xp, rt.fwd_send, axis=0)  # (q, Mf, k)
     recv = lax.all_to_all(send, AXIS, 0, 0)  # recv[s] = from device s
     buf = jnp.concatenate(
-        [x, recv.reshape(-1, k), jnp.zeros((1, k), x.dtype)], axis=0
-    )  # [local ; received ; zero]
-    (buf,) = lax.optimization_barrier((buf,))
-    return jnp.take(buf, rt.fwd_gather, axis=0)
-
-
-def _route_backward_add(
-    rt: RouteTables, c_level: jnp.ndarray, c_accum: jnp.ndarray
-) -> jnp.ndarray:
-    """Aggregate a level's partial result back into level-0 order:
-    ``C_0 += route^{-1}(C_i)`` (reference: arrow_dec_mpi.py:404-505
-    ``_aggregate_features_backwards``). The inverse routing reuses the
-    forward tables with send/receive roles swapped."""
-    k = c_level.shape[1]
-    cp = _zero_pad_rows(c_level)
-    send_back = jnp.take(cp, rt.recv_idx, axis=0)  # (q, M, k) to each source
-    recv_back = lax.all_to_all(send_back, AXIS, 0, 0)
-    buf = jnp.concatenate(
-        [c_level, recv_back.reshape(-1, k), jnp.zeros((1, k), c_level.dtype)],
+        [x_loc, x0_full, recv.reshape(-1, k), jnp.zeros((1, k), x_loc.dtype)],
         axis=0,
-    )  # [level-local partials ; received partials ; zero]
+    )  # [local ; replica ; received ; zero]
     (buf,) = lax.optimization_barrier((buf,))
-    return c_accum + jnp.take(buf, rt.bwd_gather, axis=0)
+    return (
+        jnp.take(buf, rt.fwd_gather, axis=0),
+        jnp.take(buf, rt.fwd0_gather, axis=0),
+    )
+
+
+def _route_backward(
+    rt: ShardedRouteTables, c_loc: jnp.ndarray, c0_shard: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Aggregate a level's partial results back into level-0 order
+    (reference: arrow_dec_mpi.py:404-505 ``_aggregate_features_backwards``).
+
+    :param c_loc: (width, k) this device's level-order block result.
+    :param c0_shard: (w_q, k) this device's shard of the level's head result.
+    :return: (add0 (w_q, k), add_loc (width, k)) — contributions to this
+        device's level-0 shard and block, to be accumulated.
+    """
+    k = c_loc.shape[1]
+    payload = jnp.concatenate(
+        [c_loc, c0_shard, jnp.zeros((1, k), c_loc.dtype)], axis=0
+    )
+    send = jnp.take(payload, rt.bwd_send, axis=0)  # (q, Mb, k)
+    recv = lax.all_to_all(send, AXIS, 0, 0)
+    buf = jnp.concatenate(
+        [payload[:-1], recv.reshape(-1, k), jnp.zeros((1, k), c_loc.dtype)],
+        axis=0,
+    )
+    (buf,) = lax.optimization_barrier((buf,))
+    return (
+        jnp.take(buf, rt.bwd0_gather, axis=0),
+        jnp.take(buf, rt.bwd_gather, axis=0),
+    )
 
 
 class ArrowSpmm:
@@ -179,9 +232,12 @@ class ArrowSpmm:
 
         plan = compile_plan(decomposition, width, n_devices=q)
         runner = ArrowSpmm(plan, mesh)
-        x = runner.distribute(X)        # (n, k) host -> sharded level-0 order
+        x = runner.distribute(X)        # (n, k) host -> sharded state
         x = runner.step(x)              # X <- A @ X   (jit, one XLA program)
         C = runner.collect(x)           # sharded -> (n, k) host order
+
+    Device state layout: each device holds ``(w_q + width, k)`` rows — its
+    shard of block 0 followed by its whole block j (zeros on device 0).
     """
 
     def __init__(self, plan: ArrowPlan, mesh: Mesh):
@@ -190,6 +246,7 @@ class ArrowSpmm:
         )
         self.plan = plan
         self.mesh = mesh
+        self.w_q = -(-plan.width // plan.n_blocks)
         self._plan_specs = _shard_spec(plan)
         self._x_spec = P(AXIS, None)
         # Place the plan once; it stays in HBM across iterations (unlike the
@@ -203,6 +260,7 @@ class ArrowSpmm:
         plan_specs = self._plan_specs
         x_spec = self._x_spec
         width = self.plan.width
+        w_q = self.w_q
 
         @functools.partial(
             jax.shard_map,
@@ -213,19 +271,26 @@ class ArrowSpmm:
             # metadata; skip the check.
             check_vma=False,
         )
-        def step_body(plan: ArrowPlan, x):
-            c = _level_spmm(plan.levels[0], x, width)
+        def step_body(plan: ArrowPlan, xs):
+            x0_shard, x_loc = xs[:w_q], xs[w_q:]
+            # Bcast(X_0) -> all_gather of the shards; the replica also feeds
+            # every level's column panels and routing replica-reads.
+            x0_full = lax.all_gather(x0_shard, AXIS, tiled=True)  # (w0, k)
+            c0_shard, c_loc = _level_spmm(plan.levels[0], x_loc, x0_full, width, w_q)
             for lvl in plan.levels[1:]:
                 rt = _route_local(lvl.route)
-                x_i = _route_forward(rt, x)
-                c_i = _level_spmm(lvl, x_i, width)
-                c = _route_backward_add(rt, c_i, c)
-            return c
+                x_i_loc, x_i0_shard = _route_forward(rt, x_loc, x0_full)
+                x_i0_full = lax.all_gather(x_i0_shard, AXIS, tiled=True)
+                ci0_shard, ci_loc = _level_spmm(lvl, x_i_loc, x_i0_full, width, w_q)
+                add0, add_loc = _route_backward(rt, ci_loc, ci0_shard)
+                c0_shard = c0_shard + add0
+                c_loc = c_loc + add_loc
+            return jnp.concatenate([c0_shard, c_loc], axis=0)
 
         return step_body
 
     def step(self, x_sharded):
-        """One iteration ``X <- A X`` on level-0-ordered sharded features."""
+        """One iteration ``X <- A X`` on the sharded state."""
         return self._step(self.device_plan, x_sharded)
 
     def run(self, x_sharded, iterations: int):
@@ -235,34 +300,58 @@ class ArrowSpmm:
 
     # ------------------------------------------------------------------ I/O
 
-    def distribute(self, X: np.ndarray):
-        """Host (n, k) features in original order -> device-sharded features
-        in level-0 permuted order (the reference's root-side scatter,
-        arrow_dec_mpi.py:753-823, as a single device_put). On multi-host
-        meshes every process must call this with the same X; each host
-        places only its addressable shards."""
+    def _to_state(self, X: np.ndarray) -> np.ndarray:
+        """Host (n, k) original order -> (q*(w_q+width), k) device-major
+        state: per device [block-0 shard ; block j] (zeros on device 0's
+        block slot)."""
+        q, w, w_q = self.plan.n_blocks, self.plan.width, self.w_q
+        k = X.shape[1]
         n_pad = self.plan.padded_rows
-        Xp = np.zeros((n_pad, X.shape[1]), dtype=np.float32)
+        Xp = np.zeros((n_pad, k), dtype=np.float32)
         Xp[: X.shape[0]] = X
         x0 = Xp[np.asarray(self.plan.permutations[0])]
+        shards = np.zeros((q * w_q, k), dtype=np.float32)
+        shards[:w] = x0[:w]
+        state = np.zeros((q, w_q + w, k), dtype=np.float32)
+        state[:, :w_q] = shards.reshape(q, w_q, k)
+        state[1:, w_q:] = x0[w:].reshape(q - 1, w, k)
+        return state.reshape(q * (w_q + w), k)
+
+    def _from_state(self, state: np.ndarray) -> np.ndarray:
+        q, w, w_q = self.plan.n_blocks, self.plan.width, self.w_q
+        k = state.shape[1]
+        s = state.reshape(q, w_q + w, k)
+        x0 = np.concatenate(
+            [s[:, :w_q].reshape(q * w_q, k)[:w], s[1:, w_q:].reshape((q - 1) * w, k)],
+            axis=0,
+        )
+        inv = np.argsort(np.asarray(self.plan.permutations[0]))
+        return x0[inv][: self.plan.n_rows]
+
+    def distribute(self, X: np.ndarray):
+        """Host (n, k) features in original order -> device-sharded state
+        (the reference's root-side scatter, arrow_dec_mpi.py:753-823, as a
+        single device_put). On multi-host meshes every process must call
+        this with the same X; each host places only its addressable
+        shards."""
+        state = self._to_state(np.asarray(X, dtype=np.float32))
         sharding = NamedSharding(self.mesh, self._x_spec)
         if jax.process_count() > 1:
             return jax.make_array_from_callback(
-                x0.shape, sharding, lambda idx: x0[idx]
+                state.shape, sharding, lambda idx: state[idx]
             )
-        return jax.device_put(jnp.asarray(x0), sharding)
+        return jax.device_put(jnp.asarray(state), sharding)
 
     def collect(self, x_sharded) -> np.ndarray:
-        """Device-sharded level-0-ordered features -> host (n, k) original
-        order (reference: allgather_result, arrow_slim_mpi.py:415-425).
+        """Device-sharded state -> host (n, k) original order
+        (reference: allgather_result, arrow_slim_mpi.py:415-425).
         Multi-host meshes all-gather across processes first."""
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            x0 = np.asarray(
+            state = np.asarray(
                 multihost_utils.process_allgather(x_sharded, tiled=True)
             )
         else:
-            x0 = np.asarray(jax.device_get(x_sharded))
-        inv = np.argsort(np.asarray(self.plan.permutations[0]))
-        return x0[inv][: self.plan.n_rows]
+            state = np.asarray(jax.device_get(x_sharded))
+        return self._from_state(state)

@@ -34,7 +34,12 @@ from arrow_matrix_tpu.ops.bsr_pallas import (
     stack_bsr_from_csr,
 )
 from arrow_matrix_tpu.ops.formats import EllMat, stack_ells_from_csr
-from arrow_matrix_tpu.plan.routing import RouteTables, build_route_tables
+from arrow_matrix_tpu.plan.routing import (
+    RouteTables,
+    ShardedRouteTables,
+    build_route_tables,
+    build_sharded_route_tables,
+)
 
 
 @struct.dataclass
@@ -52,7 +57,7 @@ class LevelPlan:
     col: object  # (q, ...) A_j0 (device 0 entry empty)
     band_lo: Optional[object]  # (q, ...) A_j,j-1 for j >= 2, banded mode only
     band_hi: Optional[object]  # (q, ...) A_j,j+1 for 1 <= j <= q-2
-    route: Optional[RouteTables]  # None for level 0
+    route: Optional[ShardedRouteTables]  # None for level 0
     n_active_blocks: int = struct.field(pytree_node=False)
 
 
@@ -146,22 +151,47 @@ def pad_permutation(perm: np.ndarray, n_padded: int) -> np.ndarray:
     return perm
 
 
-def compile_plan(
+class RawLevel:
+    """Per-level CSR blocks + routing, before format packing. ``head``,
+    ``diag``, ``col``, ``band_lo``, ``band_hi`` are length-q lists of
+    csr_matrix (empty where structurally zero). ``route`` holds the classic
+    pairwise tables (blocked executor), ``route_sharded`` the sharded-head
+    tables (distributed runner); both None for level 0."""
+
+    def __init__(
+        self,
+        head,
+        diag,
+        col,
+        band_lo,
+        band_hi,
+        route,
+        route_sharded,
+        n_active_blocks,
+    ):
+        self.head = head
+        self.diag = diag
+        self.col = col
+        self.band_lo = band_lo
+        self.band_hi = band_hi
+        self.route = route
+        self.route_sharded = route_sharded
+        self.n_active_blocks = n_active_blocks
+
+
+def extract_levels(
     decomposition: Sequence,
     width: int,
     n_devices: int,
     block_diagonal: bool = True,
-    slots_per_row: int | None = None,
     routing_pad_multiple: int = 8,
-    k_hint: int = 16,
-    force_format: str | None = None,
-) -> ArrowPlan:
-    """Compile a decomposition into an :class:`ArrowPlan` for a mesh with
-    ``n_devices`` devices on the block axis.
+) -> tuple[list, tuple, int]:
+    """Cut every level of a decomposition into arrow blocks and build the
+    inter-level routing tables — the format-independent part of plan
+    compilation (the reference's root-side block distribution,
+    arrow/arrow_dec_mpi.py:629-887).
 
-    :param decomposition: list of (csr_matrix, permutation) or ArrowGraph.
-    :param width: arrow width used for the decomposition (block size).
-    :param n_devices: devices on the block axis; must cover level 0's blocks.
+    :return: (list of :class:`RawLevel`, padded permutations, n_rows).
     :raises ValueError: if a level's nonzeros fall outside the arrow block
         structure (head panels + diagonal ± band) or need more blocks than
         devices.
@@ -248,6 +278,7 @@ def compile_plan(
             )
 
         route = None
+        route_sharded = None
         if i > 0:
             dst_to_src = inv_perm0[padded_perms[i]]
             route = build_route_tables(
@@ -257,33 +288,81 @@ def compile_plan(
                 cut=q_i * width,
                 pad_multiple=routing_pad_multiple,
             )
+            route_sharded = build_sharded_route_tables(
+                dst_to_src,
+                width,
+                q,
+                cut=q_i * width,
+                pad_multiple=routing_pad_multiple,
+            )
 
         banded = not block_diagonal
+        levels.append(
+            RawLevel(
+                head=head_blocks,
+                diag=diag_blocks,
+                col=col_blocks,
+                band_lo=lo_blocks if banded else None,
+                band_hi=hi_blocks if banded else None,
+                route=route,
+                route_sharded=route_sharded,
+                n_active_blocks=q_i,
+            )
+        )
 
-        def build_role(blocks):
-            # One static format per role (identical per-device programs under
-            # shard_map); the Pallas BSR kernel takes dense-enough roles.
-            fmt = force_format or preferred_format_blocks(blocks, k_hint)
-            if fmt == "bsr":
-                return stack_bsr_from_csr(blocks)
-            return stack_ells_from_csr(blocks, slots_per_row)
+    return levels, tuple(padded_perms), n
 
+
+def compile_plan(
+    decomposition: Sequence,
+    width: int,
+    n_devices: int,
+    block_diagonal: bool = True,
+    slots_per_row: int | None = None,
+    routing_pad_multiple: int = 8,
+    k_hint: int = 16,
+    force_format: str | None = None,
+) -> ArrowPlan:
+    """Compile a decomposition into an :class:`ArrowPlan` for a mesh with
+    ``n_devices`` devices on the block axis.
+
+    :param decomposition: list of (csr_matrix, permutation) or ArrowGraph.
+    :param width: arrow width used for the decomposition (block size).
+    :param n_devices: devices on the block axis; must cover level 0's blocks.
+    :raises ValueError: if a level's nonzeros fall outside the arrow block
+        structure (head panels + diagonal ± band) or need more blocks than
+        devices.
+    """
+    raw_levels, padded_perms, n = extract_levels(
+        decomposition, width, n_devices, block_diagonal, routing_pad_multiple
+    )
+
+    def build_role(blocks):
+        # One static format per role (identical per-device programs under
+        # shard_map); the Pallas BSR kernel takes dense-enough roles.
+        fmt = force_format or preferred_format_blocks(blocks, k_hint)
+        if fmt == "bsr":
+            return stack_bsr_from_csr(blocks)
+        return stack_ells_from_csr(blocks, slots_per_row)
+
+    levels = []
+    for raw in raw_levels:
         levels.append(
             LevelPlan(
-                head=build_role(head_blocks),
-                diag=build_role(diag_blocks),
-                col=build_role(col_blocks),
-                band_lo=build_role(lo_blocks) if banded else None,
-                band_hi=build_role(hi_blocks) if banded else None,
-                route=route,
-                n_active_blocks=q_i,
+                head=build_role(raw.head),
+                diag=build_role(raw.diag),
+                col=build_role(raw.col),
+                band_lo=build_role(raw.band_lo) if raw.band_lo is not None else None,
+                band_hi=build_role(raw.band_hi) if raw.band_hi is not None else None,
+                route=raw.route_sharded,
+                n_active_blocks=raw.n_active_blocks,
             )
         )
 
     return ArrowPlan(
         levels=tuple(levels),
         width=width,
-        n_blocks=q,
+        n_blocks=n_devices,
         n_rows=n,
         block_diagonal=block_diagonal,
         permutations=tuple(padded_perms),

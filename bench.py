@@ -1,12 +1,20 @@
 """Single-chip benchmark: iterated arrow SpMM throughput (nnz/s/chip).
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 Problem: decompose a Barabási graph (the reference's benchmark generator,
 reference: arrow/arrow_bench.py:28-41), k = 16 dense columns (reference
 default, scripts/spmm_arrow_main.py:14), run the jit-compiled iterated SpMM
 on the available chip, and report effective nonzeros processed per second.
+
+Two executors are timed:
+
+* the merged single-chip plan (``local_step``) — headline ``value``;
+* the blocked executor (``blocked_step``) — the DISTRIBUTED program
+  (per-block kernels + routing exchanges + emulated collectives) on one
+  chip, reported as ``arrow_spmm_distributed_nnz_per_s``.
+
 ``vs_baseline`` compares against host scipy CSR @ dense on the same problem
 (the reference's CPU kernel, arrow/arrow_mpi.py:196-219).
 """
@@ -30,7 +38,9 @@ def main():
     p.add_argument("--iterations", type=int, default=50)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--blocks", type=int, default=None,
-                   help="block count for the local plan (default: ceil(n/width))")
+                   help="block count for the plans (default: ceil(n/width))")
+    p.add_argument("--mode", choices=["local", "blocked", "both"],
+                   default="both")
     args = p.parse_args()
 
     import jax
@@ -38,6 +48,7 @@ def main():
 
     from arrow_matrix_tpu.decomposition import arrow_decomposition
     from arrow_matrix_tpu.io.generate import barabasi_albert
+    from arrow_matrix_tpu.parallel.blocked import blocked_step, compile_blocked_plan
     from arrow_matrix_tpu.parallel.local import compile_local_plan, local_step
 
     rng = np.random.default_rng(0)
@@ -63,20 +74,7 @@ def main():
         block_diagonal=True,
         seed=2,
     )
-    plan = compile_local_plan(
-        decomp, args.width, n_blocks=args.blocks, k_hint=args.features
-    )
     nnz = sum(int(lvl.matrix.nnz) for lvl in decomp)
-
-    x0 = rng.random((plan.padded_rows, args.features), dtype=np.float32)
-    # Place the plan in HBM once; iterations never leave the device (the
-    # reference re-stages host->GPU every call, arrow_mpi.py:246-270).
-    plan = jax.device_put(plan)
-
-    def run(plan, x, iters):
-        return jax.lax.fori_loop(0, iters, lambda i, x: local_step(plan, x), x)
-
-    run = jax.jit(run, static_argnums=2)
 
     def sync(arr):
         # NOTE: through the axon relay block_until_ready can return before
@@ -84,23 +82,44 @@ def main():
         # result is the only reliable fence.
         return np.asarray(jax.device_get(arr[:1, :1]))
 
-    # Dispatch + transfer through the (relayed) runtime carries a large fixed
-    # cost per call; difference a 1-iteration and an N-iteration run to get
-    # the pure per-iteration time.
-    xj = jnp.asarray(x0)
-    sync(run(plan, xj, 1))  # compile 1-iter variant
-    sync(run(plan, xj, args.iterations))  # compile N-iter variant
-    tic = time.perf_counter()
-    sync(run(plan, xj, 1))
-    t1 = time.perf_counter() - tic
-    tic = time.perf_counter()
-    x = run(plan, xj, args.iterations)
-    sync(x)
-    tn = time.perf_counter() - tic
-    device_time = max((tn - t1) / (args.iterations - 1), 1e-9)
+    def time_step(plan, step_fn, x0):
+        """Differenced 1- vs N-iteration fori_loop timing (fixed relay cost
+        per dispatch is ~15-40 ms)."""
+        plan = jax.device_put(plan)
+
+        def run(plan, x, iters):
+            return jax.lax.fori_loop(0, iters, lambda i, x: step_fn(plan, x), x)
+
+        run = jax.jit(run, static_argnums=2)
+        xj = jnp.asarray(x0)
+        sync(run(plan, xj, 1))  # compile 1-iter variant
+        sync(run(plan, xj, args.iterations))  # compile N-iter variant
+        tic = time.perf_counter()
+        sync(run(plan, xj, 1))
+        t1 = time.perf_counter() - tic
+        tic = time.perf_counter()
+        sync(run(plan, xj, args.iterations))
+        tn = time.perf_counter() - tic
+        return max((tn - t1) / (args.iterations - 1), 1e-9)
+
+    results = {}
+    if args.mode in ("local", "both"):
+        plan = compile_local_plan(
+            decomp, args.width, n_blocks=args.blocks, k_hint=args.features
+        )
+        x0 = rng.random((plan.padded_rows, args.features), dtype=np.float32)
+        results["local"] = time_step(plan, local_step, x0)
+    if args.mode in ("blocked", "both"):
+        bplan = compile_blocked_plan(
+            decomp, args.width, n_blocks=args.blocks, k_hint=args.features
+        )
+        x0 = rng.random(
+            (bplan.n_blocks * bplan.width, args.features), dtype=np.float32
+        )
+        results["blocked"] = time_step(bplan, blocked_step, x0)
 
     # Host scipy baseline (reference CPU kernel) on the same iteration.
-    X = x0[: args.vertices]
+    X = rng.random((args.vertices, args.features), dtype=np.float32)
     A @ X  # warm caches
     tic = time.perf_counter()
     reps = max(1, min(5, args.iterations // 4))
@@ -108,18 +127,16 @@ def main():
         X = A @ X
     scipy_time = (time.perf_counter() - tic) / reps
 
-    value = nnz / device_time
-    vs_baseline = scipy_time / device_time  # >1 == faster than scipy host
-    print(
-        json.dumps(
-            {
-                "metric": "arrow_spmm_nnz_per_s_per_chip",
-                "value": value,
-                "unit": "nnz/s",
-                "vs_baseline": vs_baseline,
-            }
-        )
-    )
+    device_time = results.get("local", results.get("blocked"))
+    out = {
+        "metric": "arrow_spmm_nnz_per_s_per_chip",
+        "value": nnz / device_time,
+        "unit": "nnz/s",
+        "vs_baseline": scipy_time / device_time,  # >1 == faster than scipy
+    }
+    if "blocked" in results:
+        out["arrow_spmm_distributed_nnz_per_s"] = nnz / results["blocked"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -3,8 +3,14 @@ the reference's ``test_all_to_all`` (reference: tests/test_arrowmpi.py:24-94):
 reversed and shuffled permutations, overflow/truncation, self-row locality."""
 
 import numpy as np
+import pytest
 
-from arrow_matrix_tpu.plan.routing import build_route_tables, routed_rows_per_pair
+from arrow_matrix_tpu.plan.routing import (
+    build_route_tables,
+    build_sharded_route_tables,
+    routed_rows_per_pair,
+    sharded_routed_rows_per_pair,
+)
 
 
 def _simulate_route(rt, x_blocks):
@@ -87,3 +93,102 @@ def test_block_swap_counts():
     counts = routed_rows_per_pair(rt)
     assert counts[0, 1] == width and counts[1, 0] == width
     assert counts.sum() == 2 * width
+
+
+# --------------------------------------------------- sharded-head tables
+
+
+def _simulate_sharded(rt, q, x):
+    """Host-side simulation of the sharded-head forward AND backward routing:
+    per-device buffers exactly as the runtime assembles them. ``x`` is the
+    (q*width, k) level-0-ordered features; returns (x_level_full, recovered)
+    where recovered re-applies the backward direction to the forwarded rows
+    and must reproduce the forward routing's row placement."""
+    w, w_q = rt.width, rt.w_q
+    w0 = q * w_q
+    Mf, Mb = rt.max_fwd, rt.max_bwd
+    k = x.shape[1]
+    # Device-local level-0 state.
+    x0_pad = np.zeros((w0, k), x.dtype)
+    x0_pad[:w] = x[:w]
+    x_loc = [
+        x[j * w : (j + 1) * w] if j >= 1 else np.zeros((w, k), x.dtype)
+        for j in range(q)
+    ]
+    x0_full = x0_pad  # replicated after the all_gather
+
+    fwd_send = np.asarray(rt.fwd_send)
+    sendbufs = []
+    for s in range(q):
+        xp = np.vstack([x_loc[s], np.zeros((1, k), x.dtype)])
+        sendbufs.append(xp[fwd_send[s]])  # (q, Mf, k)
+    x_i_loc, x_i0_shard = [], []
+    for d in range(q):
+        recv = np.stack([sendbufs[s][d] for s in range(q)])
+        buf = np.vstack(
+            [x_loc[d], x0_full, recv.reshape(-1, k), np.zeros((1, k), x.dtype)]
+        )
+        x_i_loc.append(buf[np.asarray(rt.fwd_gather)[d]])
+        x_i0_shard.append(buf[np.asarray(rt.fwd0_gather)[d]])
+
+    # Assemble the level-order features: block 0 from the shards, block j
+    # from device j.
+    x_level = np.vstack([np.vstack(x_i0_shard)[:w]] + x_i_loc[1:])
+
+    # Backward: route the level-order rows straight back (no SpMM) and check
+    # they land on their source rows.
+    bwd_send = np.asarray(rt.bwd_send)
+    payloads = []
+    for dd in range(q):
+        payload = np.vstack(
+            [x_i_loc[dd], x_i0_shard[dd], np.zeros((1, k), x.dtype)]
+        )
+        payloads.append(payload[bwd_send[dd]])  # (q, Mb, k)
+    back_loc, back0 = [], []
+    for ss in range(q):
+        recv_b = np.stack([payloads[dd][ss] for dd in range(q)])
+        payload_ss = np.vstack([x_i_loc[ss], x_i0_shard[ss]])
+        buf = np.vstack(
+            [payload_ss, recv_b.reshape(-1, k), np.zeros((1, k), x.dtype)]
+        )
+        back_loc.append(buf[np.asarray(rt.bwd_gather)[ss]])
+        back0.append(buf[np.asarray(rt.bwd0_gather)[ss]])
+    recovered = np.vstack([np.vstack(back0)[:w]] + back_loc[1:])
+    return x_level, recovered
+
+
+@pytest.mark.parametrize(
+    "width,q,cut_blocks,seed",
+    [(8, 4, None, 0), (8, 4, 2, 1), (12, 8, 3, 2), (7, 3, None, 3), (16, 1, None, 4)],
+)
+def test_sharded_route_roundtrip(width, q, cut_blocks, seed):
+    N = q * width
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(N).astype(np.int64)
+    cut = cut_blocks * width if cut_blocks else None
+    rt = build_sharded_route_tables(perm, width, q, cut=cut)
+    x = (np.arange(N, dtype=np.float32).reshape(N, 1) + 1.0) @ np.ones((1, 3), np.float32)
+    x_level, recovered = _simulate_sharded(rt, q, x)
+    c = cut if cut is not None else N
+    np.testing.assert_array_equal(x_level[:c], x[perm[:c]])
+    # Backward: every forward-routed value returns to its level-0 source row.
+    expected = np.zeros_like(x)
+    expected[perm[:c]] = x[perm[:c]]
+    np.testing.assert_array_equal(recovered, expected)
+
+
+def test_sharded_block0_sources_never_sent():
+    """Rows whose SOURCE lies in block 0 are read from the all_gather replica
+    and must not occupy forward all_to_all slots."""
+    width, q = 8, 4
+    N = q * width
+    # Move block 0 entirely into block 2's destination range.
+    perm = np.arange(N)
+    perm[2 * width : 3 * width] = np.arange(width)
+    perm[:width] = np.arange(2 * width, 3 * width)
+    rt = build_sharded_route_tables(perm, width, q)
+    fwd, bwd = sharded_routed_rows_per_pair(rt)
+    # Forward: only block-2 rows (now destined for block-0 shards) travel.
+    assert fwd.sum() == width - width // q  # shard owner 2 keeps its own share
+    # Backward includes the block-0-sourced rows' return paths.
+    assert bwd.sum() >= width
