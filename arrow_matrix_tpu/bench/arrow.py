@@ -136,7 +136,7 @@ def bench_spmm(
 
     log_path = metrics.finish(log_dir)
     med = float(np.median(times))
-    return {
+    stats = {
         "iterations": iterations,
         "median_spmm_time": med,
         "nnz": nnz,
@@ -144,3 +144,10 @@ def bench_spmm(
         "levels": len(decomposition),
         "log_path": log_path,
     }
+    if n_devices > 1:
+        # Exact per-device communication volume of the distributed program
+        # (the reference's headline O(width*k) claim, README.md:3).
+        from arrow_matrix_tpu.plan.comm import arrow_comm_volume
+
+        stats["comm_volume"] = arrow_comm_volume(plan, features)
+    return stats

@@ -357,6 +357,64 @@ def as_csr(m, dtype=np.float32) -> sparse.csr_matrix:
     return sparse.csr_matrix(m, dtype=dtype)
 
 
+def load_row_stripe(
+    m, row_start: int, n_rows: int, n_cols: int, dtype=np.float32
+) -> sparse.csr_matrix:
+    """Materialize rows [row_start, row_start + n_rows) of a matrix given as
+    a csr_matrix or a (possibly memory-mapped) ``(data, indices, indptr)``
+    triplet, as an (n_rows, n_cols) csr_matrix; rows beyond the stored
+    matrix are empty. Peak memory is the stripe, never the matrix — the
+    building block of out-of-core plan compilation (the reference's
+    root-side streaming distribution, arrow/arrow_dec_mpi.py:629-887 +
+    lazy block slices, arrow/common/graphio.py:409-495)."""
+    if isinstance(m, tuple):
+        data_mm, indices_mm, indptr_mm = m
+        n = indptr_mm.shape[0] - 1
+        stop = min(row_start + n_rows, n)
+        real = max(stop - row_start, 0)
+        indptr = np.zeros(n_rows + 1, dtype=np.int64)
+        if real > 0:
+            seg = np.asarray(indptr_mm[row_start : stop + 1], dtype=np.int64)
+            lo, hi = int(seg[0]), int(seg[-1])
+            indptr[: real + 1] = seg - lo
+            indptr[real + 1 :] = hi - lo
+            data = np.asarray(data_mm[lo:hi], dtype=dtype)
+            indices = np.asarray(indices_mm[lo:hi])
+        else:
+            data = np.zeros(0, dtype=dtype)
+            indices = np.zeros(0, dtype=np.int64)
+        return sparse.csr_matrix(
+            (data, indices, indptr), shape=(n_rows, n_cols)
+        )
+    m = m.tocsr()
+    stop = min(row_start + n_rows, m.shape[0])
+    stripe = m[row_start:stop]
+    if stripe.shape[0] < n_rows or stripe.shape[1] != n_cols:
+        stripe = sparse.csr_matrix(
+            (
+                stripe.data.astype(dtype),
+                stripe.indices,
+                np.pad(stripe.indptr, (0, n_rows - stripe.shape[0]), mode="edge"),
+            ),
+            shape=(n_rows, n_cols),
+        )
+    return stripe.tocsr()
+
+
+def triplet_in_degrees(m, n: int, chunk: int = 1 << 24) -> np.ndarray:
+    """Column nonzero counts of a csr_matrix or (data, indices, indptr)
+    triplet, streaming the indices in chunks (out-of-core safe)."""
+    if not isinstance(m, tuple):
+        return np.bincount(m.tocsr().indices, minlength=n)
+    indices = m[1]
+    counts = np.zeros(n, dtype=np.int64)
+    for lo in range(0, indices.shape[0], chunk):
+        counts += np.bincount(
+            np.asarray(indices[lo : lo + chunk]), minlength=n
+        )
+    return counts
+
+
 def split_matrix_to_blocks(
     A: sparse.csr_matrix,
     block_size: int,

@@ -179,6 +179,12 @@ class RawLevel:
         self.n_active_blocks = n_active_blocks
 
 
+def _level_n_rows(m) -> int:
+    if isinstance(m, tuple):
+        return m[2].shape[0] - 1
+    return m.shape[0]
+
+
 def extract_levels(
     decomposition: Sequence,
     width: int,
@@ -191,16 +197,28 @@ def extract_levels(
     compilation (the reference's root-side block distribution,
     arrow/arrow_dec_mpi.py:629-887).
 
+    OUT-OF-CORE: levels may be csr matrices or (data, indices, indptr)
+    triplets of memory-mapped arrays (``load_decomposition_new`` with
+    ``mem_map=True``). Each level is processed one width-row stripe at a
+    time — block extraction, within-block row localization and the column
+    relabeling all operate on the stripe — so peak host memory is
+    O(level_nnz / q + n) instead of several copies of the full level
+    (the reference's lazy block slices, arrow/common/graphio.py:409-495).
+
     :return: (list of :class:`RawLevel`, padded permutations, n_rows).
     :raises ValueError: if a level's nonzeros fall outside the arrow block
         structure (head panels + diagonal ± band) or need more blocks than
         devices.
     """
-    from arrow_matrix_tpu.io.graphio import as_csr
+    from arrow_matrix_tpu.io.graphio import (
+        csr_nnz,
+        load_row_stripe,
+        triplet_in_degrees,
+    )
 
-    mats = [as_csr(d[0]) for d in decomposition]
+    mats = [d[0] for d in decomposition]
     perms = [np.asarray(d[1], dtype=np.int64) for d in decomposition]
-    n = mats[0].shape[0]
+    n = _level_n_rows(mats[0])
     q = n_devices
     n_pad = q * width
 
@@ -218,18 +236,56 @@ def extract_levels(
 
     levels = []
     for i, B in enumerate(mats):
-        if B.shape[0] != n:
+        n_i = _level_n_rows(B)
+        if n_i != n:
             raise ValueError("all levels must share the vertex count")
-        if B.shape[0] < n_pad:
-            B = sparse.csr_matrix(
-                (B.data, B.indices, np.pad(B.indptr, (0, n_pad - B.shape[0]), mode="edge")),
-                shape=(n_pad, n_pad),
-            )
+
+        # Block count from streaming row/column occupancy (the localization
+        # below permutes rows only WITHIN their block, so counts by block
+        # are invariant; reference: arrow_dec_mpi.py:612-627).
+        if isinstance(B, tuple):
+            out_nnz = np.diff(np.asarray(B[2], dtype=np.int64))
+        else:
+            out_nnz = np.diff(B.tocsr().indptr).astype(np.int64)
+        in_nnz = triplet_in_degrees(B, n_i)
+        occupancy = np.zeros(n_pad, dtype=np.int64)
+        occupancy[:n_i] = out_nnz + in_nnz
+        nz = np.nonzero(occupancy)[0]
+        nonzero_rows = int(nz[-1]) + 1 if nz.size else 0
+        q_i = min(max(1, -(-nonzero_rows // width)), q)
+
+        # Within-block row localization (deeper block-diagonal levels):
+        # reorder rows inside each block so the level->level-0 map is
+        # monotone per block; pi maps new position -> old position.
         if i > 0 and block_diagonal:
-            B, padded_perms[i] = localize_level_rows(
-                B, padded_perms[i], inv_perm0, width
-            )
-        q_i = min(number_of_blocks(B, width), q)
+            d2s = inv_perm0[padded_perms[i]]
+            order = np.argsort(d2s.reshape(-1, width), axis=1, kind="stable")
+            pi = (order + np.arange(0, n_pad, width)[:, None]).reshape(-1)
+            inv_pi = np.argsort(pi)
+            padded_perms[i] = padded_perms[i][pi]
+        else:
+            pi = inv_pi = None
+
+        def stripe_blocks(j, wanted_cols):
+            """Materialize stripe j (localized if pi is set) and slice it
+            into its wanted column blocks; returns (dict col->csr, nnz)."""
+            stripe = load_row_stripe(B, j * width, width, n_pad)
+            if pi is not None:
+                local = pi[j * width : (j + 1) * width] - j * width
+                stripe = stripe[local]
+                stripe = stripe.tocsr()
+                stripe.indices = inv_pi[stripe.indices].astype(
+                    stripe.indices.dtype
+                )
+                stripe.has_sorted_indices = False
+                stripe.sort_indices()
+            out = {}
+            for c in wanted_cols:
+                blk = stripe[:, c * width : (c + 1) * width].tocsr()
+                blk.sum_duplicates()
+                blk.sort_indices()
+                out[c] = blk
+            return out
 
         head_blocks, diag_blocks, col_blocks = [], [], []
         lo_blocks, hi_blocks = [], []
@@ -242,24 +298,30 @@ def extract_levels(
                 lo_blocks.append(_empty_csr(width))
                 hi_blocks.append(_empty_csr(width))
                 continue
-            hb = _csr_block(B, width, 0, j)
-            head_blocks.append(hb)
-            covered += hb.nnz
             if j == 0:
+                blocks = stripe_blocks(0, range(q_i))
+                head_blocks.extend(blocks[c] for c in range(q_i))
                 diag_blocks.append(_empty_csr(width))
                 col_blocks.append(_empty_csr(width))
                 lo_blocks.append(_empty_csr(width))
                 hi_blocks.append(_empty_csr(width))
+                covered += sum(blocks[c].nnz for c in range(q_i))
                 continue
-            db = _csr_block(B, width, j, j)
-            cb = _csr_block(B, width, j, 0)
+            wanted = {0, j}
+            if not block_diagonal:
+                if j >= 2:
+                    wanted.add(j - 1)
+                if j < q_i - 1:
+                    wanted.add(j + 1)
+            blocks = stripe_blocks(j, sorted(wanted))
+            db, cb = blocks[j], blocks[0]
             diag_blocks.append(db)
             col_blocks.append(cb)
             covered += db.nnz + cb.nnz
             if not block_diagonal:
-                lb = _csr_block(B, width, j, j - 1) if j >= 2 else _empty_csr(width)
+                lb = blocks.get(j - 1, _empty_csr(width)) if j >= 2 else _empty_csr(width)
                 ub = (
-                    _csr_block(B, width, j, j + 1)
+                    blocks.get(j + 1, _empty_csr(width))
                     if j < q_i - 1
                     else _empty_csr(width)
                 )
@@ -270,9 +332,10 @@ def extract_levels(
                 lo_blocks.append(_empty_csr(width))
                 hi_blocks.append(_empty_csr(width))
 
-        if covered != B.nnz:
+        level_nnz = csr_nnz(B)
+        if covered != level_nnz:
             raise ValueError(
-                f"level {i}: {B.nnz - covered} nonzeros outside the arrow "
+                f"level {i}: {level_nnz - covered} nonzeros outside the arrow "
                 f"block structure (width {width}, block_diagonal={block_diagonal}); "
                 "re-decompose with a larger width or more levels"
             )
