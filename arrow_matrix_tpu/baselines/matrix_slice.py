@@ -30,13 +30,18 @@ from scipy import sparse
 
 from flax import struct
 
+from arrow_matrix_tpu.ops.bsr_pallas import (
+    preferred_format_blocks,
+    stack_bsr_from_csr,
+)
 from arrow_matrix_tpu.ops.formats import EllMat, stack_ells_from_csr
 
 
 @struct.dataclass
 class MatrixSlicePlan:
-    A_local: EllMat  # (q, ...) own-column blocks, columns = local X rows
-    A_nonlocal: EllMat  # (q, ...) remote columns, relabeled into recv buffer
+    # (q, ...)-stacked EllMat or BsrMat per role, chosen by the cost model.
+    A_local: object  # own-column blocks, columns = local X rows
+    A_nonlocal: object  # remote columns, relabeled into recv buffer
     send_idx: np.ndarray  # (q, q, M) owner-local rows per requester, pad=lmax
     lmax: int = struct.field(pytree_node=False)
     max_per_pair: int = struct.field(pytree_node=False)
@@ -59,6 +64,8 @@ def build_slice_plan(
     n_devices: int | None = None,
     slots_per_row: int | None = None,
     pad_multiple: int = 8,
+    k_hint: int = 32,
+    force_format: str | None = None,
 ) -> MatrixSlicePlan:
     """Build a :class:`MatrixSlicePlan` from a square matrix and a row
     partition (defaults to an even split over ``n_devices``)."""
@@ -126,9 +133,17 @@ def build_slice_plan(
         local_blocks.append(loc)
         nonlocal_blocks.append(far)
 
+    def build_role(blocks):
+        # Per-role format: dense-enough slices take the Pallas BSR/MXU path
+        # (k = 32 is the reference PETSc default, spmm_petsc_main.py:34).
+        fmt = force_format or preferred_format_blocks(blocks, k_hint)
+        if fmt == "bsr":
+            return stack_bsr_from_csr(blocks)
+        return stack_ells_from_csr(blocks, slots_per_row)
+
     return MatrixSlicePlan(
-        A_local=stack_ells_from_csr(local_blocks, slots_per_row),
-        A_nonlocal=stack_ells_from_csr(nonlocal_blocks, slots_per_row),
+        A_local=build_role(local_blocks),
+        A_nonlocal=build_role(nonlocal_blocks),
         send_idx=send_idx,
         lmax=lmax,
         max_per_pair=M,

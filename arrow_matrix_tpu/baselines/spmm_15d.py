@@ -34,6 +34,12 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from arrow_matrix_tpu.ops.bsr_pallas import (
+    BsrMat,
+    preferred_format_blocks,
+    stack_bsr_from_csr,
+)
+from arrow_matrix_tpu.ops.dispatch import bsr_apply
 from arrow_matrix_tpu.ops.ell import ell_spmm
 from arrow_matrix_tpu.ops.formats import EllMat, stack_ells_from_csr
 
@@ -109,12 +115,19 @@ class Spmm15D:
         A,
         mesh: Mesh,
         slots_per_row: int | None = None,
+        k_hint: int = 128,
+        force_format: str | None = None,
     ):
         """:param A: csr_matrix, or a (data, indices, indptr) triplet of
         (possibly memory-mapped) arrays of a SQUARE matrix — the analogue of
         the reference's memmap-aware decomposition
         (reference: arrow/baseline/spmm_15d.py:158-309): blocks are built one
-        row stripe at a time, never materializing the full matrix."""
+        row stripe at a time, never materializing the full matrix.
+
+        :param k_hint: expected feature-column count, feeding the ELL/BSR
+            format cost model (the reference's 1.5D default is 128, where
+            the MXU path shines; k-tiling engages automatically when the
+            operand overflows VMEM)."""
         assert set(mesh.axis_names) == {ROW_AXIS, REPL_AXIS}
         self.mesh = mesh
         p_div_c = mesh.shape[ROW_AXIS]
@@ -161,14 +174,35 @@ class Spmm15D:
                         i * lNI : (i + 1) * lNI, j * lNK : (j + 1) * lNK
                     ].tocsr()
                     flat_blocks.append(blk)
-        stacked = stack_ells_from_csr(flat_blocks, slots_per_row)  # (P, V, R)
-        self.lA = stacked.replace(
-            idx=stacked.idx.reshape((p_div_c, c) + stacked.idx.shape[1:]),
-            val=stacked.val.reshape((p_div_c, c) + stacked.val.shape[1:]),
-            combine=tuple(
-                t.reshape((p_div_c, c) + t.shape[1:]) for t in stacked.combine
-            ),
-        )
+        # Format choice: gather-ELL for scattered blocks, Pallas BSR for
+        # dense-enough ones (k = 128 is the reference default — the MXU
+        # regime; reference: scripts/spmm_15d_main.py:57).
+        self.fmt = force_format or preferred_format_blocks(flat_blocks, k_hint)
+        if self.fmt == "bsr":
+            stacked = stack_bsr_from_csr(flat_blocks)  # (P, T, TM, TN)
+            self.lA = stacked.replace(
+                tiles_data=stacked.tiles_data.reshape(
+                    (p_div_c, c) + stacked.tiles_data.shape[1:]
+                ),
+                tiles_col=stacked.tiles_col.reshape(
+                    (p_div_c, c) + stacked.tiles_col.shape[1:]
+                ),
+                prog_rows=stacked.prog_rows.reshape(
+                    (p_div_c, c) + stacked.prog_rows.shape[1:]
+                ),
+                row_occupied=stacked.row_occupied.reshape(
+                    (p_div_c, c) + stacked.row_occupied.shape[1:]
+                ),
+            )
+        else:
+            stacked = stack_ells_from_csr(flat_blocks, slots_per_row)  # (P, V, R)
+            self.lA = stacked.replace(
+                idx=stacked.idx.reshape((p_div_c, c) + stacked.idx.shape[1:]),
+                val=stacked.val.reshape((p_div_c, c) + stacked.val.shape[1:]),
+                combine=tuple(
+                    t.reshape((p_div_c, c) + t.shape[1:]) for t in stacked.combine
+                ),
+            )
 
         self._x_sharding = NamedSharding(mesh, P((REPL_AXIS, ROW_AXIS), None))
         self._y_sharding = NamedSharding(mesh, P(ROW_AXIS, None))
@@ -179,26 +213,39 @@ class Spmm15D:
             self.lA, jax.tree.map(lambda s: NamedSharding(mesh, s), self._plan_spec)
         )
 
-        stage_inputs = self.lA.stage_inputs
+        fmt = self.fmt
+        stage_inputs = (
+            self.lA.stage_inputs if isinstance(self.lA, EllMat) else None
+        )
 
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
             in_specs=(self._plan_spec, P((REPL_AXIS, ROW_AXIS), None)),
             out_specs=P(ROW_AXIS, None),
+            check_vma=False,
         )
-        def spmm_body(lA: EllMat, x_local):
+        def spmm_body(lA, x_local):
             # x_local: (s_in, k) — this device's X shard.
             x_cols = lax.all_gather(x_local, ROW_AXIS, tiled=True)  # (lNK, k)
-            m = EllMat(
-                idx=lA.idx[0, 0],
-                val=lA.val[0, 0],
-                combine=tuple(t[0, 0] for t in lA.combine),
-                n_rows=lNI,
-                n_cols=lNK,
-                stage_inputs=stage_inputs,
-            )
-            y_partial = ell_spmm(m, x_cols)  # (lNI, k)
+            if fmt == "bsr":
+                m = lA.replace(
+                    tiles_data=lA.tiles_data[0, 0],
+                    tiles_col=lA.tiles_col[0, 0],
+                    prog_rows=lA.prog_rows[0, 0],
+                    row_occupied=lA.row_occupied[0, 0],
+                )
+                y_partial = bsr_apply(m, x_cols, lNI)
+            else:
+                m = EllMat(
+                    idx=lA.idx[0, 0],
+                    val=lA.val[0, 0],
+                    combine=tuple(t[0, 0] for t in lA.combine),
+                    n_rows=lNI,
+                    n_cols=lNK,
+                    stage_inputs=stage_inputs,
+                )
+                y_partial = ell_spmm(m, x_cols)  # (lNI, k)
             return lax.psum(y_partial, REPL_AXIS)
 
         self._spmm = jax.jit(spmm_body)

@@ -24,6 +24,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from arrow_matrix_tpu.baselines.matrix_slice import MatrixSlicePlan, build_slice_plan
+from arrow_matrix_tpu.ops.dispatch import apply_mat, local_slice
 from arrow_matrix_tpu.ops.ell import ell_spmm
 from arrow_matrix_tpu.ops.formats import EllMat
 
@@ -67,6 +68,7 @@ class Spmm1D:
             mesh=mesh,
             in_specs=(self._plan_spec, P(AXIS, None)),
             out_specs=P(AXIS, None),
+            check_vma=False,
         )
         def step_body(plan: MatrixSlicePlan, x_local):
             k = x_local.shape[1]
@@ -76,20 +78,13 @@ class Spmm1D:
             send = jnp.take(xp, plan.send_idx[0], axis=0)  # (q, M, k)
             recv = lax.all_to_all(send, AXIS, 0, 0)
 
-            def local_ell(m: EllMat, n_cols):
-                return EllMat(
-                    idx=m.idx[0],
-                    val=m.val[0],
-                    combine=tuple(t[0] for t in m.combine),
-                    n_rows=lmax,
-                    n_cols=n_cols,
-                    stage_inputs=m.stage_inputs,
-                )
-
-            y = ell_spmm(local_ell(plan.A_local, lmax), x_local)
-            y = y + ell_spmm(
-                local_ell(plan.A_nonlocal, recv.shape[0] * recv.shape[1]),
-                recv.reshape(-1, k),
+            # Local product overlaps the exchange (XLA schedules the
+            # collective alongside it — the reference's nonblocking-send
+            # overlap, spmm_petsc.py:179-221); each role dispatches to its
+            # chosen format (gather-ELL or Pallas BSR).
+            y = apply_mat(local_slice(plan.A_local), x_local, lmax)
+            y = y + apply_mat(
+                local_slice(plan.A_nonlocal), recv.reshape(-1, k), lmax
             )
             return y
 

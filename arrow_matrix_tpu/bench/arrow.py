@@ -40,6 +40,7 @@ def bench_spmm(
     use_mmap: bool = False,
     log_dir: str = "./logs",
     seed: int = 0,
+    profile: bool = False,
 ) -> dict:
     """Run the iterated arrow SpMM benchmark; returns summary statistics.
 
@@ -103,14 +104,26 @@ def bench_spmm(
     if n_devices > 1:
         runner = ArrowSpmm(plan, block_mesh(n_devices))
         x = runner.distribute(random_dense(plan.n_rows, features, seed=seed + 1))
-        step = runner.step
+        # Profile mode: separately jitted phases emitting the reference's
+        # span taxonomy (spmm_kernel_time, spmm_x_bcast_time,
+        # spmm_row_reduce, forward/back_agg_all_to_all_v) per iteration
+        # (reference: arrow/arrow_mpi.py:196-299).
+        step = runner.step_phased if profile else runner.step
     else:
         dplan = jax.device_put(plan)
         x = jnp.asarray(
             rng.random((plan.padded_rows, features), dtype=np.float32)
         )
         jitted = jax.jit(local_step)
-        step = lambda x: jitted(dplan, x)
+        if profile:
+            # Single chip has no comm phases: the whole step is the kernel.
+            def step(x):
+                with metrics.span("spmm_kernel_time"):
+                    y = jitted(dplan, x)
+                    jax.block_until_ready(y)
+                return y
+        else:
+            step = lambda x: jitted(dplan, x)
 
     # Warm-up / compile.
     x = step(x)

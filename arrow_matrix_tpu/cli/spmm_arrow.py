@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--ba_neighbors", type=int, default=4)
     p.add_argument("--npy", type=str2bool, default=True)
     p.add_argument("--mmap", type=str2bool, default=False)
+    p.add_argument("--profile", type=str2bool, default=False,
+                   help="separately jitted phases with per-phase span logging")
     p.add_argument("--log_dir", type=str, default="./logs")
     args = p.parse_args(argv)
 
@@ -46,6 +48,7 @@ def main(argv=None):
         use_npy=args.npy,
         use_mmap=args.mmap,
         log_dir=args.log_dir,
+        profile=args.profile,
     )
     print(json.dumps(stats))
 

@@ -14,10 +14,15 @@
 // Build: make -C arrow_matrix_tpu/decomposition/_native
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <numeric>
 #include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 using std::int64_t;
 
@@ -203,6 +208,106 @@ int arrow_linearize_forest(int64_t n, const int64_t* pred,
     }
   }
   return pos == n ? 0 : 2;
+}
+
+// One fused pass of the per-level edge split (the hot numpy phase at
+// 100M+-edge scale — reference equivalents: the Julia edge selection
+// julia/arrow/ArrowDecomposition.jl:137-185 and permuted rebuild): permute
+// every entry of the level CSR by `inv`, test the arrow criterion, and
+// emit TWO canonical CSR matrices in one sweep —
+//   B: the in-arrow entries under NEW ids (rows/cols permuted, col-sorted);
+//   L: the leftover entries under ORIGINAL ids (order preserved => sorted).
+// The input must be canonical (unique, sorted entries); B and L then are
+// too. keep_all=1 takes every entry into B (the final level's full
+// permutation).
+//
+// Caller preallocates B_indices/B_data and L_indices/L_data at nnz entries;
+// counts_out = {B_nnz, L_nnz}.
+int arrow_partition_edges(int64_t n, const int64_t* indptr,
+                          const int64_t* indices, const float* data,
+                          const int64_t* inv, int64_t width,
+                          int block_diagonal, int prune, int keep_all,
+                          int64_t* B_indptr, int64_t* B_indices, float* B_data,
+                          int64_t* L_indptr, int64_t* L_indices, float* L_data,
+                          int64_t* counts_out) {
+  const int64_t nnz = indptr[n];
+
+  auto in_arrow = [&](int64_t pu, int64_t pv) -> bool {
+    if (keep_all) return true;
+    bool in;
+    if (block_diagonal)
+      in = (pu / width) == (pv / width);
+    else
+      in = (pu >= pv ? pu - pv : pv - pu) <= width;
+    if (prune) in = in || pu < width || pv < width;
+    return in;
+  };
+
+  // Pass 1: count B rows (new ids) and L rows (original ids).
+  std::vector<int64_t> b_cnt(n, 0), l_cnt(n, 0);
+#pragma omp parallel for schedule(static)
+  for (int64_t u = 0; u < n; ++u) {
+    const int64_t pu = inv[u];
+    int64_t bc = 0, lc = 0;
+    for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+      if (in_arrow(pu, inv[indices[p]]))
+        ++bc;
+      else
+        ++lc;
+    }
+    b_cnt[pu] = bc;  // all of source row u's kept entries land in new row pu
+    l_cnt[u] = lc;
+  }
+  B_indptr[0] = 0;
+  L_indptr[0] = 0;
+  for (int64_t r = 0; r < n; ++r) {
+    B_indptr[r + 1] = B_indptr[r] + b_cnt[r];
+    L_indptr[r + 1] = L_indptr[r] + l_cnt[r];
+  }
+  counts_out[0] = B_indptr[n];
+  counts_out[1] = L_indptr[n];
+  if (counts_out[0] + counts_out[1] != nnz) return 1;
+
+  // Pass 2: fill. Each source row u maps to exactly one B row (pu) and one
+  // L row (u), so rows can be filled independently in parallel.
+#pragma omp parallel for schedule(static)
+  for (int64_t u = 0; u < n; ++u) {
+    const int64_t pu = inv[u];
+    int64_t bfill = B_indptr[pu];
+    int64_t lfill = L_indptr[u];
+    for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+      const int64_t v = indices[p];
+      const int64_t pv = inv[v];
+      if (in_arrow(pu, pv)) {
+        B_indices[bfill] = pv;
+        B_data[bfill] = data[p];
+        ++bfill;
+      } else {
+        L_indices[lfill] = v;
+        L_data[lfill] = data[p];
+        ++lfill;
+      }
+    }
+  }
+
+  // Pass 3: sort B's rows by column (L inherits the input's order).
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (int64_t r = 0; r < n; ++r) {
+    const int64_t lo = B_indptr[r], hi = B_indptr[r + 1];
+    const int64_t len = hi - lo;
+    if (len <= 1) continue;
+    // Sort (index, value) pairs by index.
+    std::vector<std::pair<int64_t, float>> row(len);
+    for (int64_t i = 0; i < len; ++i)
+      row[i] = {B_indices[lo + i], B_data[lo + i]};
+    std::sort(row.begin(), row.end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
+    for (int64_t i = 0; i < len; ++i) {
+      B_indices[lo + i] = row[i].first;
+      B_data[lo + i] = row[i].second;
+    }
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -22,6 +22,7 @@ import numpy as np
 from scipy import sparse
 
 from arrow_matrix_tpu.decomposition import graphalgs, linearize
+from arrow_matrix_tpu.decomposition import native as _native
 
 
 @dataclasses.dataclass
@@ -156,6 +157,8 @@ def arrow_decomposition(
         otherwise); the numpy pipeline is always used for the BFS level.
     """
     A = sparse.csr_matrix(A)
+    A.sum_duplicates()
+    A.sort_indices()
     assert A.shape[0] == A.shape[1], "adjacency must be square"
     assert arrow_width <= A.shape[0], "width must not exceed the vertex count"
 
@@ -163,6 +166,7 @@ def arrow_decomposition(
     decomposition: list[ArrowGraph] = []
     # Identity mapping from current-level vertex ids to original vertex ids.
     original_ids = np.arange(A.shape[0], dtype=np.int64)
+    use_native_split = native and _native.AVAILABLE
 
     level = A
     while True:
@@ -170,7 +174,25 @@ def arrow_decomposition(
         order = _arrow_linear_order(level, arrow_width, is_last, rng, native)
         inv = np.argsort(order)
 
-        if not is_last:
+        leftover = None
+        if use_native_split:
+            # One fused parallel pass: permute + arrow criterion + both
+            # canonical CSR outputs (C++ core).
+            B, leftover = _native.partition_edges(
+                level, inv, arrow_width, block_diagonal, prune,
+                keep_all=is_last,
+            )
+            if not is_last and B.nnz == 0 and level.nnz > 0:
+                # Degenerate guard: keep everything at this level
+                # (reference: arrow/decomposition.py:100-102).
+                B, leftover = _native.partition_edges(
+                    level, inv, arrow_width, block_diagonal, prune,
+                    keep_all=True,
+                )
+            actual_width = (
+                get_arrow_width(B, arrow_width) if is_last else arrow_width
+            )
+        elif not is_last:
             coo = level.tocoo()
             pu = inv[coo.row]
             pv = inv[coo.col]
@@ -194,10 +216,19 @@ def arrow_decomposition(
             B.sort_indices()
             actual_width = arrow_width
             leftover_mask = ~in_arrow
+            level_coo = coo
+            leftover = sparse.csr_matrix(
+                (
+                    level_coo.data[leftover_mask],
+                    (level_coo.row[leftover_mask], level_coo.col[leftover_mask]),
+                ),
+                shape=level.shape,
+            )
+            leftover.sum_duplicates()
         else:
             B = _permute_matrix(level, inv)
             actual_width = get_arrow_width(B, arrow_width)
-            leftover_mask = None
+            leftover = None
 
         decomposition.append(
             ArrowGraph(
@@ -208,18 +239,9 @@ def arrow_decomposition(
             )
         )
 
-        if leftover_mask is None or not leftover_mask.any():
+        if leftover is None or leftover.nnz == 0:
             break
-
-        coo = level.tocoo()
-        level = sparse.csr_matrix(
-            (
-                coo.data[leftover_mask],
-                (coo.row[leftover_mask], coo.col[leftover_mask]),
-            ),
-            shape=level.shape,
-        )
-        level.sum_duplicates()
+        level = leftover
 
     return decomposition
 

@@ -134,3 +134,42 @@ def grid_graph(side: int, seed: int | None = None) -> sparse.csr_matrix:
     )
     A.sum_duplicates()
     return A
+
+
+def rmat_graph(
+    scale: int,
+    edge_factor: int = 16,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int | None = None,
+    symmetric: bool = True,
+) -> sparse.csr_matrix:
+    """Graph500-style RMAT power-law graph, fully vectorized — the big-graph
+    stand-in for the reference's SuiteSparse datasets (kmer_V2a, mawi, ...,
+    reference: scripts/decomposition_main.py:126), which need downloads this
+    environment cannot perform. 2**scale vertices, ~edge_factor * n edges;
+    generation is O(scale) vectorized passes over the edge list.
+    """
+    rng = np.random.default_rng(seed)
+    n = 1 << scale
+    m = edge_factor * n
+    src = np.zeros(m, dtype=np.int64)
+    dst = np.zeros(m, dtype=np.int64)
+    ab, abc = a + b, a + b + c
+    for _ in range(scale):
+        r = rng.random(m)
+        right = r >= ab  # bottom half (c or d quadrant)
+        low = (r >= a) & (r < ab) | (r >= abc)  # b or d quadrant
+        src = (src << 1) | right
+        dst = (dst << 1) | low
+    keep = src != dst  # drop self-loops
+    src, dst = src[keep], dst[keep]
+    if symmetric:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    A = sparse.csr_matrix(
+        (np.ones(src.size, dtype=np.float32), (src, dst)), shape=(n, n)
+    )
+    A.sum_duplicates()
+    A.data[:] = 1.0
+    return A

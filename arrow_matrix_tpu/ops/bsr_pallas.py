@@ -323,15 +323,28 @@ def preferred_format(
     on v5e: the BSR Pallas kernel streams one (128,128) f32 tile in ~82ns at
     HBM bandwidth (measured up to 33 Gnnz/s on dense-ish blocks), while the
     gather-ELL path costs ~1.4-3 ns per slot on the gather engine. Breakeven
-    sits near ~30 nonzeros per occupied tile. BSR additionally requires the
-    dense operand to fit the VMEM budget (k-tiling raises that ceiling,
-    ops/tiling.py)."""
+    sits near ~30 nonzeros per occupied tile.
+
+    When the dense operand overflows the VMEM residency budget, BSR runs
+    k-TILED (``ops.dispatch.bsr_apply``): the A tiles re-stream once per
+    feature tile, so the BSR cost multiplies by the tile count — BSR is
+    still chosen when it wins despite the re-streams (the memory-capacity
+    analogue of the reference's GPU tiling, spmm_petsc.py:323-395)."""
+    from arrow_matrix_tpu.ops.tiling import plan_feature_tiles, vmem_resident_bytes
+
     occ, nnz, _ = tile_density_stats(A, tile_m, tile_n)
     if nnz == 0:
         return "ell"
     n_col_pad = max(1, -(-A.shape[1] // tile_n)) * tile_n
-    if n_col_pad * k * 4 > x_vmem_budget_bytes:
+    # Feasibility is set by PHYSICAL (lane-padded) bytes: a narrow-k operand
+    # still occupies rows x 128 lanes, so k-tiling only helps above 128
+    # columns (measured: f32 (200064, 8) -> ~99MB scoped VMEM).
+    k_t = plan_feature_tiles(
+        n_col_pad, k, needs_vmem_residency=True, vmem_budget=x_vmem_budget_bytes
+    )
+    if vmem_resident_bytes(n_col_pad, min(k, k_t)) > x_vmem_budget_bytes:
         return "ell"
-    bsr_ns = occ * bsr_ns_per_tile * (tile_m * tile_n) / (128 * 128)
+    n_k_tiles = -(-k // k_t)
+    bsr_ns = occ * bsr_ns_per_tile * (tile_m * tile_n) / (128 * 128) * n_k_tiles
     ell_ns = nnz * slot_pad_factor * ell_ns_per_slot
     return "bsr" if bsr_ns < ell_ns else "ell"

@@ -1,0 +1,100 @@
+"""Shared sparse-block dispatch for all runners.
+
+Strips device-stacked leading axes and applies the right kernel — gather-ELL,
+row-compressed CompactEll, or the Pallas BSR kernel with AUTOMATIC feature
+(k) tiling when the dense operand would overflow the VMEM residency budget
+(the memory-capacity analogue of the reference's GPU tiling,
+reference: arrow/baseline/spmm_petsc.py:323-395, spmm_15d.py:371-449).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from arrow_matrix_tpu.ops.bsr_pallas import BsrMat, bsr_spmm
+from arrow_matrix_tpu.ops.ell import compact_ell_spmm, ell_spmm
+from arrow_matrix_tpu.ops.formats import CompactEll, EllMat
+from arrow_matrix_tpu.ops.tiling import (
+    DEFAULT_VMEM_BUDGET,
+    plan_feature_tiles,
+    tiled_apply,
+)
+
+
+def local_slice(m):
+    """Strip the per-device leading axis of size 1 inside shard_map."""
+    if isinstance(m, BsrMat):
+        return m.replace(
+            tiles_data=m.tiles_data[0],
+            tiles_col=m.tiles_col[0],
+            prog_rows=m.prog_rows[0],
+            row_occupied=m.row_occupied[0],
+        )
+    if isinstance(m, CompactEll):
+        return m.replace(inner=local_slice(m.inner), row_map=m.row_map[0])
+    return m.replace(
+        idx=m.idx[0],
+        val=m.val[0],
+        combine=tuple(t[0] for t in m.combine),
+    )
+
+
+def take_block(m, j: int):
+    """Block j's slice of a (q, ...)-stacked matrix."""
+    if isinstance(m, BsrMat):
+        return m.replace(
+            tiles_data=m.tiles_data[j],
+            tiles_col=m.tiles_col[j],
+            prog_rows=m.prog_rows[j],
+            row_occupied=m.row_occupied[j],
+        )
+    if isinstance(m, CompactEll):
+        return m.replace(inner=take_block(m.inner, j), row_map=m.row_map[j])
+    return m.replace(
+        idx=m.idx[j],
+        val=m.val[j],
+        combine=tuple(t[j] for t in m.combine),
+    )
+
+
+def bsr_apply(
+    m: BsrMat,
+    x: jnp.ndarray,
+    n_rows_out: int,
+    vmem_budget: int = DEFAULT_VMEM_BUDGET,
+) -> jnp.ndarray:
+    """BSR SpMM with row padding of the operand and automatic k-tiling:
+    when (padded_rows, k) float32 exceeds the VMEM residency budget, the
+    feature columns are processed in static tiles (the A tiles re-stream
+    once per k-tile; ``preferred_format`` accounts for that)."""
+    n_pad = m.n_col_tiles * m.tile_n
+
+    def one(xt: jnp.ndarray) -> jnp.ndarray:
+        pad = n_pad - xt.shape[0]
+        if pad > 0:
+            xt = jnp.concatenate(
+                [xt, jnp.zeros((pad, xt.shape[1]), xt.dtype)], axis=0
+            )
+        return bsr_spmm(m, xt)[:n_rows_out]
+
+    k_t = plan_feature_tiles(
+        n_pad,
+        x.shape[1],
+        needs_vmem_residency=True,
+        vmem_budget=vmem_budget,
+    )
+    return tiled_apply(one, x, k_t).astype(x.dtype)
+
+
+def apply_mat(m, x: jnp.ndarray, n_rows_out: int) -> Optional[jnp.ndarray]:
+    """Apply one (unstacked) block matrix to (n_cols, k) features; None
+    blocks contribute nothing."""
+    if m is None:
+        return None
+    if isinstance(m, BsrMat):
+        return bsr_apply(m, x, n_rows_out)
+    if isinstance(m, CompactEll):
+        return compact_ell_spmm(m, x)
+    return ell_spmm(m, x)

@@ -22,6 +22,20 @@ DEFAULT_VMEM_BUDGET = 8 << 20
 DEFAULT_HBM_BUDGET = 4 << 30
 
 
+LANES = 128  # VMEM lane width: the minor dimension pads to 128 elements
+
+
+def vmem_resident_bytes(
+    n_rows: int, k: int, bytes_per_elem: int = 4
+) -> int:
+    """PHYSICAL VMEM footprint of an (n_rows, k) operand: the minor
+    dimension is lane-padded to 128, so a narrow-k operand still costs
+    ``n_rows * 128`` elements (measured: an f32 (200064, 8) operand
+    allocates ~99MB of scoped VMEM). Feature tiling below 128 columns
+    therefore saves NOTHING in VMEM."""
+    return n_rows * max(1, -(-k // LANES)) * LANES * bytes_per_elem
+
+
 def plan_feature_tiles(
     n_rows_padded: int,
     k: int,
@@ -35,15 +49,18 @@ def plan_feature_tiles(
     """Static feature-tile width k_t <= k.
 
     :param needs_vmem_residency: True for the BSR Pallas kernel (the whole
-        (n_rows_padded, k_t) operand sits in VMEM).
+        (n_rows_padded, k_t) operand sits in VMEM, lane-padded — tiles are
+        only useful in multiples of 128 columns there).
     :param slots: ELL slot count; bounds the (slots, k_t) gather intermediate
         against the HBM budget.
     :return: k_t (a multiple of ``lane_multiple``, or k itself if smaller).
     """
-    budget_rows = vmem_budget if needs_vmem_residency else hbm_budget
     k_t = k
     if needs_vmem_residency:
-        k_t = min(k_t, max(1, budget_rows // (n_rows_padded * bytes_per_elem)))
+        if k > LANES:
+            fit = (vmem_budget // (n_rows_padded * bytes_per_elem)) // LANES * LANES
+            k_t = min(k_t, max(LANES, fit))
+        # k <= 128: lane padding makes any narrower tile the same size.
     if slots:
         k_t = min(k_t, max(1, hbm_budget // (slots * bytes_per_elem)))
     if k_t >= k:

@@ -49,9 +49,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from arrow_matrix_tpu.ops.bsr_pallas import BsrMat, bsr_spmm
-from arrow_matrix_tpu.ops.ell import compact_ell_spmm, ell_spmm
-from arrow_matrix_tpu.ops.formats import CompactEll
+from arrow_matrix_tpu.ops.dispatch import apply_mat, local_slice
 from arrow_matrix_tpu.plan.compile import ArrowPlan, LevelPlan
 from arrow_matrix_tpu.plan.routing import ShardedRouteTables
 
@@ -73,24 +71,6 @@ def _shard_spec(pytree):
     )
 
 
-def _local(m):
-    """Strip the per-device leading axis of size 1 inside shard_map."""
-    if isinstance(m, BsrMat):
-        return m.replace(
-            tiles_data=m.tiles_data[0],
-            tiles_col=m.tiles_col[0],
-            prog_rows=m.prog_rows[0],
-            row_occupied=m.row_occupied[0],
-        )
-    if isinstance(m, CompactEll):
-        return m.replace(inner=_local(m.inner), row_map=m.row_map[0])
-    return m.replace(
-        idx=m.idx[0],
-        val=m.val[0],
-        combine=tuple(t[0] for t in m.combine),
-    )
-
-
 def _route_local(rt: ShardedRouteTables) -> ShardedRouteTables:
     return rt.replace(
         fwd_send=rt.fwd_send[0],
@@ -109,18 +89,9 @@ def _zero_pad_rows(x: jnp.ndarray) -> jnp.ndarray:
 
 def _apply_block(m, x: jnp.ndarray, width: int) -> jnp.ndarray:
     """Multiply one (width x width-ish) block by (width, k) features,
-    dispatching to the gather-ELL, compact-ELL or Pallas BSR kernel."""
-    m = _local(m)
-    if isinstance(m, BsrMat):
-        pad = m.n_col_tiles * m.tile_n - x.shape[0]
-        if pad > 0:
-            x = jnp.concatenate(
-                [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0
-            )
-        return bsr_spmm(m, x)[:width].astype(x.dtype)
-    if isinstance(m, CompactEll):
-        return compact_ell_spmm(m, x)
-    return ell_spmm(m, x)
+    dispatching to the gather-ELL, compact-ELL or (k-tiled) Pallas BSR
+    kernel."""
+    return apply_mat(local_slice(m), x, width)
 
 
 def _level_spmm(
@@ -297,6 +268,156 @@ class ArrowSpmm:
         for _ in range(iterations):
             x_sharded = self.step(x_sharded)
         return x_sharded
+
+    # ------------------------------------------------------- profile mode
+
+    def _make_phases(self):
+        """Separately jitted phase functions for profile mode, one set per
+        level. The fused step is ONE XLA program whose phases overlap by
+        design; these slice it at the reference's span boundaries (kernel /
+        bcast / reduce / forward / backward aggregation) so each can be
+        fenced and timed — at the cost of the overlap, so use for
+        attribution, not headline numbers (reference spans:
+        arrow/arrow_mpi.py:196-299, arrow/arrow_dec_mpi.py:420-440)."""
+        mesh = self.mesh
+        width = self.plan.width
+        w_q = self.w_q
+        shard2 = P(AXIS, None)
+        rep2 = P(None, None)
+
+        def smap(fn, in_specs, out_specs):
+            return jax.jit(
+                functools.partial(
+                    jax.shard_map,
+                    mesh=mesh,
+                    in_specs=in_specs,
+                    out_specs=out_specs,
+                    check_vma=False,
+                )(fn)
+            )
+
+        phases = []
+        for i, lvl in enumerate(self.plan.levels):
+            specs = jax.tree.map(
+                lambda a: P(AXIS, *([None] * (a.ndim - 1))), lvl
+            )
+
+            def bcast(lvl, x0_shard):
+                return lax.all_gather(x0_shard, AXIS, tiled=True)
+
+            def kernel(lvl, x_loc, x0_full):
+                j = lax.axis_index(AXIS)
+                x_head = jnp.where(j == 0, x0_full[:width], x_loc)
+                head_partial = _apply_block(lvl.head, x_head, width)
+                c_loc = _apply_block(lvl.diag, x_loc, width) + _apply_block(
+                    lvl.col, x0_full[:width], width
+                )
+                if lvl.band_lo is not None:
+                    q = lax.axis_size(AXIS)
+                    x_lo = lax.ppermute(
+                        x_loc, AXIS, [(d, d + 1) for d in range(q - 1)]
+                    )
+                    x_hi = lax.ppermute(
+                        x_loc, AXIS, [(d + 1, d) for d in range(q - 1)]
+                    )
+                    c_loc = c_loc + _apply_block(lvl.band_lo, x_lo, width)
+                    c_loc = c_loc + _apply_block(lvl.band_hi, x_hi, width)
+                return head_partial, c_loc
+
+            def reduce_head(lvl, head_partial):
+                q = lax.axis_size(AXIS)
+                hp = jnp.concatenate(
+                    [
+                        head_partial,
+                        jnp.zeros(
+                            (q * w_q - width, head_partial.shape[1]),
+                            head_partial.dtype,
+                        ),
+                    ],
+                    axis=0,
+                )
+                return lax.psum_scatter(
+                    hp, AXIS, scatter_dimension=0, tiled=True
+                )
+
+            entry = {
+                "bcast": smap(bcast, (specs, shard2), rep2),
+                "kernel": smap(
+                    kernel, (specs, shard2, rep2), (shard2, shard2)
+                ),
+                "reduce": smap(reduce_head, (specs, shard2), shard2),
+            }
+            if i > 0:
+
+                def fwd(lvl, x_loc, x0_full):
+                    rt = _route_local(lvl.route)
+                    return _route_forward(rt, x_loc, x0_full)
+
+                def bwd(lvl, c_loc_lvl, c0_shard_lvl):
+                    rt = _route_local(lvl.route)
+                    return _route_backward(rt, c_loc_lvl, c0_shard_lvl)
+
+                entry["fwd"] = smap(
+                    fwd, (specs, shard2, rep2), (shard2, shard2)
+                )
+                entry["bwd"] = smap(
+                    bwd, (specs, shard2, shard2), (shard2, shard2)
+                )
+            phases.append(entry)
+        return phases
+
+    def step_phased(self, x_sharded, record=None):
+        """One iteration with separately jitted, fenced phases, each wall
+        span recorded through ``record`` (defaults to the metrics module)
+        under the reference's span taxonomy. Returns the new state."""
+        import time as _time
+
+        from arrow_matrix_tpu.utils import metrics as _metrics
+
+        record = record if record is not None else _metrics
+        if not hasattr(self, "_phases"):
+            self._phases = self._make_phases()
+        q, w, w_q = self.plan.n_blocks, self.plan.width, self.w_q
+        k = x_sharded.shape[1]
+
+        def span(name, fn, *args):
+            tic = _time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            record.log({name: _time.perf_counter() - tic})
+            return out
+
+        xs = x_sharded.reshape(q, w_q + w, k)
+        x0_shard = xs[:, :w_q].reshape(q * w_q, k)
+        x_loc = xs[:, w_q:].reshape(q * w, k)
+
+        lvl0 = self.device_plan.levels[0]
+        ph0 = self._phases[0]
+        x0_full = span("spmm_x_bcast_time", ph0["bcast"], lvl0, x0_shard)
+        head_partial, c_loc = span(
+            "spmm_kernel_time", ph0["kernel"], lvl0, x_loc, x0_full
+        )
+        c0_shard = span("spmm_row_reduce", ph0["reduce"], lvl0, head_partial)
+
+        for lvl, ph in zip(self.device_plan.levels[1:], self._phases[1:]):
+            x_i_loc, x_i0_shard = span(
+                "forward_agg_all_to_all_v", ph["fwd"], lvl, x_loc, x0_full
+            )
+            x_i0_full = span("spmm_x_bcast_time", ph["bcast"], lvl, x_i0_shard)
+            hp_i, ci_loc = span(
+                "spmm_kernel_time", ph["kernel"], lvl, x_i_loc, x_i0_full
+            )
+            ci0_shard = span("spmm_row_reduce", ph["reduce"], lvl, hp_i)
+            add0, add_loc = span(
+                "back_agg_all_to_all_v", ph["bwd"], lvl, ci_loc, ci0_shard
+            )
+            c0_shard = c0_shard + add0
+            c_loc = c_loc + add_loc
+
+        out = jnp.concatenate(
+            [c0_shard.reshape(q, w_q, k), c_loc.reshape(q, w, k)], axis=1
+        ).reshape(q * (w_q + w), k)
+        return jax.device_put(out, NamedSharding(self.mesh, self._x_spec))
 
     # ------------------------------------------------------------------ I/O
 

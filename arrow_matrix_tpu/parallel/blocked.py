@@ -1,11 +1,13 @@
 """Single-chip execution of the DISTRIBUTED arrow program (blocked executor).
 
-``blocked_step`` runs the exact program of ``arrow_spmm.step`` — per-block
-head/diagonal/column SpMMs, the fused Bcast+Reduce head psum, the banded
-halo, and the inter-level routing exchanges — on ONE device, with every
-collective replaced by its on-chip equivalent (psum -> sum over the block
-axis, all_to_all -> axis transpose, ppermute -> block shift). Two reasons it
-exists:
+``blocked_step`` runs the program of ``arrow_spmm.step`` — per-block
+head/diagonal/column SpMMs, the head Bcast+Reduce, the banded halo, and the
+inter-level routing — on ONE device. Collectives degenerate: the head
+reduce is an on-chip sum over the block axis, the halo a block shift, and
+the routing all_to_all a DIRECT gather through the plan's
+monotone-within-block maps (the padded slot exchange exists only to move
+rows between devices; emulating it on one chip would gather mostly
+padding). Two reasons it exists:
 
 1. *Hardware measurement of the distributed path.* Real multi-chip meshes are
    not always available; the blocked executor is the distributed program
@@ -40,33 +42,34 @@ import numpy as np
 from flax import struct
 from scipy import sparse
 
-from arrow_matrix_tpu.ops.bsr_pallas import (
-    BsrMat,
-    bsr_from_csr,
-    bsr_spmm,
-    preferred_format,
-)
-from arrow_matrix_tpu.ops.ell import compact_ell_spmm, ell_spmm
+from arrow_matrix_tpu.ops.bsr_pallas import bsr_from_csr, preferred_format
+from arrow_matrix_tpu.ops.dispatch import apply_mat
 from arrow_matrix_tpu.ops.formats import (
-    CompactEll,
     compact_ell_from_csr,
     ell_cost_rows,
     ell_from_csr,
 )
-from arrow_matrix_tpu.plan.routing import RouteTables
 
 
 @struct.dataclass
 class BlockedLevel:
     """Per-level, per-block matrices (tuples of length q_i; entries may be
-    None for structurally empty blocks)."""
+    None for structurally empty blocks).
+
+    Routing on one chip needs no all_to_all emulation — the level exchange
+    IS a gather. ``dst_to_src`` maps the level's (cut,) positions to level-0
+    positions; ``src_to_dst`` is the inverse over all (q*width,) level-0
+    positions with ``cut`` (an appended zero row) for unrouted rows. Both
+    are monotone within each block (plan-time localization), so the gathers
+    stream near-sequentially regardless of total matrix size."""
 
     head: tuple
     diag: tuple
     col: tuple
     band_lo: Optional[tuple]
     band_hi: Optional[tuple]
-    route: Optional[RouteTables]
+    dst_to_src: Optional[jnp.ndarray]
+    src_to_dst: Optional[jnp.ndarray]
     n_active_blocks: int = struct.field(pytree_node=False)
 
 
@@ -117,12 +120,22 @@ def compile_blocked_plan(
         decomposition, width, q, block_diagonal, routing_pad_multiple
     )
 
+    n_pad = q * width
     levels = []
     for raw in raw_levels:
         q_i = raw.n_active_blocks
 
         def role(blocks):
             return tuple(_build_block(b, k_hint) for b in blocks[:q_i])
+
+        d2s = s2d = None
+        if raw.route is not None:
+            cut = raw.route.cut
+            d2s_np = np.asarray(raw.route.dst_to_src[:cut], dtype=np.int64)
+            s2d_np = np.full(n_pad, cut, dtype=np.int32)  # cut == zero row
+            s2d_np[d2s_np] = np.arange(cut, dtype=np.int32)
+            d2s = jnp.asarray(d2s_np.astype(np.int32))
+            s2d = jnp.asarray(s2d_np)
 
         levels.append(
             BlockedLevel(
@@ -131,7 +144,8 @@ def compile_blocked_plan(
                 col=role(raw.col),
                 band_lo=role(raw.band_lo) if raw.band_lo is not None else None,
                 band_hi=role(raw.band_hi) if raw.band_hi is not None else None,
-                route=raw.route,
+                dst_to_src=d2s,
+                src_to_dst=s2d,
                 n_active_blocks=q_i,
             )
         )
@@ -148,16 +162,7 @@ def compile_blocked_plan(
 
 def _apply(m, x: jnp.ndarray, width: int) -> Optional[jnp.ndarray]:
     """Apply one block matrix; None blocks contribute nothing."""
-    if m is None:
-        return None
-    if isinstance(m, BsrMat):
-        pad = m.n_col_tiles * m.tile_n - x.shape[0]
-        if pad > 0:
-            x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
-        return bsr_spmm(m, x)[:width].astype(x.dtype)
-    if isinstance(m, CompactEll):
-        return compact_ell_spmm(m, x)
-    return ell_spmm(m, x)
+    return apply_mat(m, x, width)
 
 
 def _acc(a: Optional[jnp.ndarray], b: Optional[jnp.ndarray]):
@@ -196,65 +201,14 @@ def _level_spmm_blocked(lvl: BlockedLevel, xq: jnp.ndarray, width: int) -> jnp.n
     return jnp.stack(outs)
 
 
-def _exchange(blocks: jnp.ndarray, idx: jnp.ndarray, n_dst: int) -> jnp.ndarray:
-    """The all_to_all of ``arrow_spmm._route_forward`` on-chip: per source
-    block s gather its slots for every destination, then swap the (src, dst)
-    axes. Returns (n_dst, q*M, k) receive regions.
-
-    :param blocks: (q, width, k) per-block rows.
-    :param idx: (q, n_dst_tab, M) slot tables (``width`` = padding).
-    """
-    q, width, k = blocks.shape
-    padded = jnp.concatenate(
-        [blocks, jnp.zeros((q, 1, k), blocks.dtype)], axis=1
-    )
-    send = jax.vmap(lambda xs, t: jnp.take(xs, t, axis=0))(
-        padded, idx[:, :n_dst]
-    )  # (q_src, n_dst, M, k)
-    recv = jnp.swapaxes(send, 0, 1)  # (n_dst, q_src, M, k)
-    return recv.reshape(n_dst, -1, k)
-
-
-def _route_forward_blocked(
-    rt: RouteTables, xq: jnp.ndarray, q_i: int
-) -> jnp.ndarray:
-    """Features level-0 order -> level order, per block
-    (``arrow_spmm._route_forward`` with the collective emulated)."""
-    q, width, k = xq.shape
-    recv = _exchange(xq, rt.send_idx, q_i)  # (q_i, q*M, k)
-    bufs = jnp.concatenate(
-        [xq[:q_i], recv, jnp.zeros((q_i, 1, k), xq.dtype)], axis=1
-    )
-    (bufs,) = jax.lax.optimization_barrier((bufs,))
-    return jax.vmap(lambda b, g: jnp.take(b, g, axis=0))(bufs, rt.fwd_gather[:q_i])
-
-
-def _route_backward_add_blocked(
-    rt: RouteTables, c_level: jnp.ndarray, c_accum: jnp.ndarray
-) -> jnp.ndarray:
-    """Partial results level order -> level-0 order, accumulated
-    (``arrow_spmm._route_backward_add`` with the collective emulated)."""
-    q, width, k = c_accum.shape
-    q_i = c_level.shape[0]
-    if q_i < q:
-        c_full = jnp.concatenate(
-            [c_level, jnp.zeros((q - q_i, width, k), c_level.dtype)], axis=0
-        )
-    else:
-        c_full = c_level
-    # Backward exchange: destination blocks (level order, only q_i active)
-    # send each forward slot's result back to its source block.
-    recv_back = _exchange(c_full, rt.recv_idx, q)  # (q, q*M, k)
-    bufs = jnp.concatenate(
-        [c_full, recv_back, jnp.zeros((q, 1, k), c_level.dtype)], axis=1
-    )
-    (bufs,) = jax.lax.optimization_barrier((bufs,))
-    add = jax.vmap(lambda b, g: jnp.take(b, g, axis=0))(bufs, rt.bwd_gather)
-    return c_accum + add
-
-
 def blocked_step(plan: BlockedPlan, x: jnp.ndarray) -> jnp.ndarray:
     """One iteration ``X <- A X`` of the distributed program on one device.
+
+    The inter-level exchanges are DIRECT gathers through the plan's
+    monotone-within-block routing maps: a single chip holds all blocks, so
+    the all_to_all degenerates to index selection (the distributed runner's
+    slot exchange exists only to move rows between devices; its padded
+    slots would cost real, mostly-wasted gather traffic here).
 
     :param x: (n_blocks * width, k) features in level-0 permuted order
         (same layout as :func:`arrow_matrix_tpu.parallel.local.local_step`).
@@ -268,7 +222,16 @@ def blocked_step(plan: BlockedPlan, x: jnp.ndarray) -> jnp.ndarray:
         c = jnp.concatenate([c, jnp.zeros((q - q0, width, k), x.dtype)], axis=0)
     for lvl in plan.levels[1:]:
         q_i = lvl.n_active_blocks
-        x_i = _route_forward_blocked(lvl.route, xq, q_i)
+        # Forward: level-order features, gathered straight from level-0
+        # order (reference: _propagate_features_forwards,
+        # arrow_dec_mpi.py:507-610).
+        x_i = jnp.take(x, lvl.dst_to_src, axis=0).reshape(q_i, width, k)
         c_i = _level_spmm_blocked(lvl, x_i, width)
-        c = _route_backward_add_blocked(lvl.route, c_i, c)
+        # Backward: add each level row's result onto its level-0 source row
+        # (reference: _aggregate_features_backwards, arrow_dec_mpi.py:404-505).
+        c_pad = jnp.concatenate(
+            [c_i.reshape(q_i * width, k), jnp.zeros((1, k), x.dtype)], axis=0
+        )
+        (c_pad,) = jax.lax.optimization_barrier((c_pad,))
+        c = c + jnp.take(c_pad, lvl.src_to_dst, axis=0).reshape(q, width, k)
     return c.reshape(q * width, k)

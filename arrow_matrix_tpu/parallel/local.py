@@ -24,11 +24,11 @@ from flax import struct
 from arrow_matrix_tpu.ops.bsr_pallas import (
     BsrMat,
     bsr_from_csr,
-    bsr_spmm,
     preferred_format,
     split_by_tile_density,
     tile_density_stats,
 )
+from arrow_matrix_tpu.ops.dispatch import bsr_apply
 from arrow_matrix_tpu.ops.ell import ell_spmm
 from arrow_matrix_tpu.ops.formats import EllMat, ell_from_csr
 
@@ -213,20 +213,11 @@ def _choose_format(Bt, k_hint, slots_per_row, force_format, dtype=np.float32):
     return "ell", ell_from_csr(Bt, slots_per_row, dtype=dtype), None
 
 
-def _bsr_apply(m: BsrMat, x_lvl: jnp.ndarray, cut: int) -> jnp.ndarray:
-    pad = m.n_col_tiles * m.tile_n - x_lvl.shape[0]
-    if pad > 0:
-        x_lvl = jnp.concatenate(
-            [x_lvl, jnp.zeros((pad, x_lvl.shape[1]), x_lvl.dtype)], axis=0
-        )
-    return bsr_spmm(m, x_lvl)[:cut].astype(x_lvl.dtype)
-
-
 def _apply(lvl: LocalLevel, x_lvl: jnp.ndarray) -> jnp.ndarray:
     if lvl.fmt == "bsr":
-        return _bsr_apply(lvl.mat, x_lvl, lvl.cut)
+        return bsr_apply(lvl.mat, x_lvl, lvl.cut)
     if lvl.fmt == "hybrid":
-        return _bsr_apply(lvl.mat, x_lvl, lvl.cut) + ell_spmm(lvl.mat_sparse, x_lvl)
+        return bsr_apply(lvl.mat, x_lvl, lvl.cut) + ell_spmm(lvl.mat_sparse, x_lvl)
     return ell_spmm(lvl.mat, x_lvl)
 
 

@@ -83,16 +83,63 @@ def log(data: Dict[str, Any]) -> None:
             _current[key] = value
 
 
+def _gather_process_logs(records: List[Dict[str, Any]]) -> List[List[Dict[str, Any]]]:
+    """On a multi-process run, gather every process's log buffer (the
+    reference gathers all ranks' logs to rank 0 before writing,
+    reference: wb_logging.py:67-69). Returns one record list per process;
+    single-process returns [records]."""
+    try:
+        import jax
+
+        n_proc = jax.process_count()
+    except Exception:
+        n_proc = 1
+    if n_proc == 1:
+        return [records]
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(json.dumps(records).encode(), dtype=np.uint8)
+    lengths = multihost_utils.process_allgather(
+        np.asarray([payload.size], dtype=np.int64)
+    ).reshape(-1)
+    max_len = int(lengths.max())
+    padded = np.zeros(max_len, dtype=np.uint8)
+    padded[: payload.size] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    out = []
+    for p in range(n_proc):
+        raw = bytes(gathered[p][: int(lengths[p])])
+        out.append(json.loads(raw.decode()) if raw else [])
+    return out
+
+
 def finish(log_dir: str = "./logs") -> Optional[str]:
     """Flush the buffer: stream to wandb if active, and always write
     ``{algorithm}.{dataset}.{uuid}.jsonl`` + ``.config`` locally
-    (reference: wb_logging.py:67-114). Returns the local log path."""
+    (reference: wb_logging.py:67-114). On multi-process runs, all
+    processes' buffers are gathered and process 0 writes the merged file
+    (records carry a ``process`` field); other processes write nothing and
+    return None. Returns the local log path."""
     global _current, _buffer, _run
     if _current:
         _buffer.append(_current)
         _current = {}
     if not _buffer and not _config:
         return None
+
+    per_process = _gather_process_logs(_buffer)
+    _buffer = []
+    try:
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            if _run is not None:
+                _run.finish()
+                _run = None
+            return None
+    except Exception:
+        pass
 
     os.makedirs(log_dir, exist_ok=True)
     sanitize = lambda s: str(s).replace(os.sep, "_").replace(".", "_")
@@ -101,17 +148,20 @@ def finish(log_dir: str = "./logs") -> Optional[str]:
     base = os.path.join(log_dir, f"{algo}.{dataset}.{uuid.uuid4().hex[:8]}")
     path = base + ".jsonl"
     with open(path, "w") as f:
-        for i, rec in enumerate(_buffer):
-            f.write(json.dumps({"iteration": i, **rec}) + "\n")
+        for proc, records in enumerate(per_process):
+            for i, rec in enumerate(records):
+                f.write(
+                    json.dumps({"process": proc, "iteration": i, **rec}) + "\n"
+                )
     with open(base + ".config", "w") as f:
         json.dump(_config, f, indent=2)
 
     if _run is not None:
-        for rec in _buffer:
-            _run.log(rec)
+        for records in per_process:
+            for rec in records:
+                _run.log(rec)
         _run.finish()
         _run = None
-    _buffer = []
     return path
 
 

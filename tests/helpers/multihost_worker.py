@@ -37,5 +37,24 @@ except Exception as e:
     ok = False
     print(f"[proc{pid}] FAILED: {e}", flush=True)
 assert all_processes_succeeded(ok)
+
+# Process-0 log aggregation (reference gathers all ranks' logs to rank 0,
+# arrow/common/wb_logging.py:67-69).
+import tempfile, json
+from arrow_matrix_tpu.utils import metrics
+metrics.wandb_init(algorithm="mh_test", dataset="ba400", config={"nproc": nproc})
+metrics.set_iteration_data({"iteration": 0})
+metrics.log({"proc_marker": pid})
+log_dir = os.environ.get("MH_LOG_DIR", tempfile.gettempdir())
+path = metrics.finish(log_dir=log_dir)
+if pid == 0:
+    assert path is not None
+    recs = [json.loads(l) for l in open(path)]
+    assert sorted(r["proc_marker"] for r in recs) == list(range(nproc)), recs
+    assert sorted(r["process"] for r in recs) == list(range(nproc)), recs
+    print("MULTIHOST LOGS OK", flush=True)
+else:
+    assert path is None
+
 if pid == 0:
     print("MULTIHOST OK", flush=True)

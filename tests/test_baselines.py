@@ -46,6 +46,75 @@ def test_15d_triplet_input_matches_csr():
     np.testing.assert_allclose(got_tri, A @ X, rtol=1e-4, atol=1e-4)
 
 
+def test_15d_bsr_format_matches_ell():
+    # Dense-ish matrix at the reference's k=128 default: the BSR/MXU path
+    # must agree with gather-ELL (reference GPU path analogue,
+    # arrow/baseline/spmm_15d.py:371-449).
+    A = random_csr(256, 256, 32, seed=5)
+    X = random_dense(256, 128, seed=6)
+    mesh = grid_mesh(4, 2)
+    r_ell = Spmm15D(A, mesh, force_format="ell")
+    r_bsr = Spmm15D(A, mesh, force_format="bsr", k_hint=128)
+    assert r_bsr.fmt == "bsr"
+    got_ell = r_ell.collect(r_ell.spmm(r_ell.distribute(X)))
+    got_bsr = r_bsr.collect(r_bsr.spmm(r_bsr.distribute(X)))
+    np.testing.assert_allclose(got_bsr, got_ell, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_bsr, A @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_1d_bsr_format_matches_ell():
+    from arrow_matrix_tpu.baselines.matrix_slice import build_slice_plan
+    from arrow_matrix_tpu.baselines.spmm_petsc import Spmm1D
+
+    A = random_csr(200, 200, 24, seed=7)
+    X = random_dense(200, 32, seed=8)
+    mesh = slice_mesh(4)
+    p_ell = build_slice_plan(A, n_devices=4, force_format="ell")
+    p_bsr = build_slice_plan(A, n_devices=4, force_format="bsr")
+    y_ell = Spmm1D(p_ell, mesh)
+    y_bsr = Spmm1D(p_bsr, mesh)
+    got_ell = y_ell.collect(y_ell.step(y_ell.distribute(X)))
+    got_bsr = y_bsr.collect(y_bsr.step(y_bsr.distribute(X)))
+    np.testing.assert_allclose(got_bsr, got_ell, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_bsr, A @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_k_tiling_matches_untiled():
+    # Force a VMEM budget small enough that the dense operand must be
+    # k-tiled; results must be identical (reference GPU tiling analogue,
+    # arrow/baseline/spmm_petsc.py:323-395).
+    from arrow_matrix_tpu.ops.bsr_pallas import bsr_from_csr, bsr_spmm
+    from arrow_matrix_tpu.ops.dispatch import bsr_apply
+    import jax.numpy as jnp
+
+    A = random_csr(256, 256, 40, seed=9)
+    X = random_dense(256, 384, seed=10)
+    m = bsr_from_csr(A)
+    untiled = bsr_apply(m, jnp.asarray(X), 256)
+    # Budget fits exactly one 128-lane tile of the operand -> 3 k-tiles.
+    tiled = bsr_apply(m, jnp.asarray(X), 256, vmem_budget=256 * 128 * 4)
+    np.testing.assert_allclose(
+        np.asarray(tiled), np.asarray(untiled), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(tiled), A @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_preferred_format_k_tiled_bsr():
+    # A dense-tiled matrix whose wide operand overflows VMEM must STILL pick
+    # bsr (k-tiling in 128-column units), but when even one lane-padded tile
+    # cannot fit, it must fall back to ell.
+    from arrow_matrix_tpu.ops.bsr_pallas import preferred_format
+    from scipy import sparse as sp
+
+    A = sp.random(512, 512, density=0.5, random_state=np.random.default_rng(1),
+                  format="csr")
+    assert preferred_format(A, 128) == "bsr"
+    # k=512 at a budget of exactly one 128-lane tile: k-tiled BSR.
+    assert preferred_format(A, 512, x_vmem_budget_bytes=512 * 128 * 4) == "bsr"
+    # One lane-padded tile (rows x 128 x 4B) over budget: infeasible.
+    assert preferred_format(A, 16, x_vmem_budget_bytes=512 * 64 * 4) == "ell"
+
+
 def test_15d_rectangular():
     A = random_csr(120, 260, 5, seed=1)
     X = random_dense(260, 8, seed=2)

@@ -27,4 +27,5 @@ def test_two_process_global_mesh():
     out1, _ = p1.communicate(timeout=60)
     assert p0.returncode == 0, out0[-2000:]
     assert p1.returncode == 0, out1[-2000:]
+    assert "MULTIHOST LOGS OK" in out0, out0[-2000:]
     assert "MULTIHOST OK" in out0, out0[-2000:]

@@ -77,9 +77,12 @@ def test_checkpoint_roundtrip(problem, tmp_path):
 
 
 def test_feature_tiling_planner():
-    # VMEM residency forces narrow tiles for big operands.
-    kt = plan_feature_tiles(100_000, 128, needs_vmem_residency=True)
-    assert kt < 128 and kt % 8 == 0
+    # VMEM is lane-padded: tiles below 128 columns save nothing, so k <= 128
+    # never tiles; wide operands tile in 128-column units.
+    assert plan_feature_tiles(100_000, 128, needs_vmem_residency=True) == 128
+    kt = plan_feature_tiles(8192, 512, needs_vmem_residency=True,
+                            vmem_budget=8192 * 128 * 4)
+    assert kt == 128
     # Small operands keep full width.
     assert plan_feature_tiles(1000, 64, needs_vmem_residency=True) == 64
     assert plan_feature_tiles(10_000, 16) == 16
