@@ -210,6 +210,10 @@ int arrow_linearize_forest(int64_t n, const int64_t* pred,
   return pos == n ? 0 : 2;
 }
 
+}  // extern "C"
+
+namespace {
+
 // One fused pass of the per-level edge split (the hot numpy phase at
 // 100M+-edge scale — reference equivalents: the Julia edge selection
 // julia/arrow/ArrowDecomposition.jl:137-185 and permuted rebuild): permute
@@ -219,17 +223,18 @@ int arrow_linearize_forest(int64_t n, const int64_t* pred,
 //   L: the leftover entries under ORIGINAL ids (order preserved => sorted).
 // The input must be canonical (unique, sorted entries); B and L then are
 // too. keep_all=1 takes every entry into B (the final level's full
-// permutation).
+// permutation). Templated over the index type so int32 scipy indices avoid
+// a 2x-nnz widening copy on the Python side.
 //
 // Caller preallocates B_indices/B_data and L_indices/L_data at nnz entries;
 // counts_out = {B_nnz, L_nnz}.
-int arrow_partition_edges(int64_t n, const int64_t* indptr,
-                          const int64_t* indices, const float* data,
-                          const int64_t* inv, int64_t width,
-                          int block_diagonal, int prune, int keep_all,
-                          int64_t* B_indptr, int64_t* B_indices, float* B_data,
-                          int64_t* L_indptr, int64_t* L_indices, float* L_data,
-                          int64_t* counts_out) {
+template <typename I>
+int partition_edges_impl(int64_t n, const int64_t* indptr, const I* indices,
+                         const float* data, const int64_t* inv, int64_t width,
+                         int block_diagonal, int prune, int keep_all,
+                         int64_t* B_indptr, I* B_indices, float* B_data,
+                         int64_t* L_indptr, I* L_indices, float* L_data,
+                         int64_t* counts_out) {
   const int64_t nnz = indptr[n];
 
   auto in_arrow = [&](int64_t pu, int64_t pv) -> bool {
@@ -276,10 +281,10 @@ int arrow_partition_edges(int64_t n, const int64_t* indptr,
     int64_t bfill = B_indptr[pu];
     int64_t lfill = L_indptr[u];
     for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
-      const int64_t v = indices[p];
+      const I v = indices[p];
       const int64_t pv = inv[v];
       if (in_arrow(pu, pv)) {
-        B_indices[bfill] = pv;
+        B_indices[bfill] = static_cast<I>(pv);
         B_data[bfill] = data[p];
         ++bfill;
       } else {
@@ -297,7 +302,7 @@ int arrow_partition_edges(int64_t n, const int64_t* indptr,
     const int64_t len = hi - lo;
     if (len <= 1) continue;
     // Sort (index, value) pairs by index.
-    std::vector<std::pair<int64_t, float>> row(len);
+    std::vector<std::pair<I, float>> row(len);
     for (int64_t i = 0; i < len; ++i)
       row[i] = {B_indices[lo + i], B_data[lo + i]};
     std::sort(row.begin(), row.end(),
@@ -308,6 +313,35 @@ int arrow_partition_edges(int64_t n, const int64_t* indptr,
     }
   }
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int arrow_partition_edges(int64_t n, const int64_t* indptr,
+                          const int64_t* indices, const float* data,
+                          const int64_t* inv, int64_t width,
+                          int block_diagonal, int prune, int keep_all,
+                          int64_t* B_indptr, int64_t* B_indices, float* B_data,
+                          int64_t* L_indptr, int64_t* L_indices, float* L_data,
+                          int64_t* counts_out) {
+  return partition_edges_impl<int64_t>(
+      n, indptr, indices, data, inv, width, block_diagonal, prune, keep_all,
+      B_indptr, B_indices, B_data, L_indptr, L_indices, L_data, counts_out);
+}
+
+int arrow_partition_edges_i32(int64_t n, const int64_t* indptr,
+                              const int32_t* indices, const float* data,
+                              const int64_t* inv, int64_t width,
+                              int block_diagonal, int prune, int keep_all,
+                              int64_t* B_indptr, int32_t* B_indices,
+                              float* B_data, int64_t* L_indptr,
+                              int32_t* L_indices, float* L_data,
+                              int64_t* counts_out) {
+  return partition_edges_impl<int32_t>(
+      n, indptr, indices, data, inv, width, block_diagonal, prune, keep_all,
+      B_indptr, B_indices, B_data, L_indptr, L_indices, L_data, counts_out);
 }
 
 }  // extern "C"

@@ -76,6 +76,7 @@ def _setup_signatures(lib):
         i64p,  # out n_components
     ]
     f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
     lib.arrow_partition_edges.restype = ctypes.c_int
     lib.arrow_partition_edges.argtypes = [
         ctypes.c_int64,  # n
@@ -90,6 +91,21 @@ def _setup_signatures(lib):
         i64p, i64p, f32p,  # B indptr/indices/data
         i64p, i64p, f32p,  # L indptr/indices/data
         i64p,  # counts_out[2]
+    ]
+    lib.arrow_partition_edges_i32.restype = ctypes.c_int
+    lib.arrow_partition_edges_i32.argtypes = [
+        ctypes.c_int64,
+        i64p,
+        i32p,  # int32 column indices (scipy's default below 2^31 nnz)
+        f32p,
+        i64p,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        i64p, i32p, f32p,
+        i64p, i32p, f32p,
+        i64p,
     ]
 
 
@@ -139,27 +155,42 @@ def partition_edges(
     n = level.shape[0]
     nnz = level.nnz
     indptr = np.ascontiguousarray(level.indptr, dtype=np.int64)
-    indices = np.ascontiguousarray(level.indices, dtype=np.int64)
+    # int32 column indices (scipy's default below 2^31 nnz) go through the
+    # i32 entry point — widening 2x-nnz arrays costs seconds per level at
+    # the 100M-edge scale.
+    idx_dtype = (
+        np.int32 if np.issubdtype(level.indices.dtype, np.int32) else np.int64
+    )
+    indices = np.ascontiguousarray(level.indices, dtype=idx_dtype)
     data = np.ascontiguousarray(level.data, dtype=np.float32)
     inv64 = np.ascontiguousarray(inv, dtype=np.int64)
 
     B_indptr = np.empty(n + 1, dtype=np.int64)
-    B_indices = np.empty(nnz, dtype=np.int64)
+    B_indices = np.empty(nnz, dtype=idx_dtype)
     B_data = np.empty(nnz, dtype=np.float32)
     L_indptr = np.empty(n + 1, dtype=np.int64)
-    L_indices = np.empty(nnz if not keep_all else 0, dtype=np.int64)
-    L_data = np.empty(nnz if not keep_all else 0, dtype=np.float32)
     if keep_all:  # the C side still writes L_indptr (all zeros)
-        L_indices = np.empty(1, dtype=np.int64)
+        L_indices = np.empty(1, dtype=idx_dtype)
         L_data = np.empty(1, dtype=np.float32)
+    else:
+        L_indices = np.empty(nnz, dtype=idx_dtype)
+        L_data = np.empty(nnz, dtype=np.float32)
     counts = np.zeros(2, dtype=np.int64)
 
     as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     as_f32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-    rc = _lib.arrow_partition_edges(
+    as_idx = lambda a: a.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int32 if idx_dtype == np.int32 else ctypes.c_int64)
+    )
+    fn = (
+        _lib.arrow_partition_edges_i32
+        if idx_dtype == np.int32
+        else _lib.arrow_partition_edges
+    )
+    rc = fn(
         n,
         as_i64(indptr),
-        as_i64(indices),
+        as_idx(indices),
         as_f32(data),
         as_i64(inv64),
         int(width),
@@ -167,10 +198,10 @@ def partition_edges(
         int(prune),
         int(keep_all),
         as_i64(B_indptr),
-        as_i64(B_indices),
+        as_idx(B_indices),
         as_f32(B_data),
         as_i64(L_indptr),
-        as_i64(L_indices),
+        as_idx(L_indices),
         as_f32(L_data),
         as_i64(counts),
     )

@@ -456,64 +456,3 @@ def split_matrix_to_blocks(
             block.sort_indices()
             blocks[i][j] = block
     return blocks
-
-
-def split_matrix_to_block_slices(
-    A_triplet: tuple, block_size: int
-) -> List[List[Union[tuple, None]]]:
-    """Lazy variant for memory-mapped matrices: returns (row_slice, col_slice)
-    descriptors instead of materialized blocks
-    (reference: graphio.py:409-446)."""
-    indptr = A_triplet[2]
-    rows = cols = indptr.size - 1
-    n_block_rows = int(np.ceil(rows / block_size))
-    n_block_cols = int(np.ceil(cols / block_size))
-    blocks: List[List[Union[tuple, None]]] = [
-        [None] * n_block_cols for _ in range(n_block_rows)
-    ]
-    for i in range(n_block_rows):
-        wanted = {0, i - 1, i, i + 1} if i > 0 else set(range(n_block_cols))
-        for j in range(n_block_cols):
-            if j not in wanted:
-                continue
-            blocks[i][j] = (
-                slice(i * block_size, min(rows, (i + 1) * block_size)),
-                slice(j * block_size, min(cols, (j + 1) * block_size)),
-            )
-    return blocks
-
-
-def load_block_from_slice(
-    A_triplet: tuple, bslice: tuple, block_size: int, dtype=None
-) -> Optional[sparse.csr_matrix]:
-    """Materialize one block from a memory-mapped CSR triplet
-    (reference: graphio.py:449-495)."""
-    if bslice is None:
-        return None
-    data_mm, indices_mm, indptr_mm = A_triplet
-    row_slice, col_slice = bslice
-    num_rows = row_slice.stop - row_slice.start
-    indptr = np.empty(num_rows + 1, dtype=np.int64)
-    indptr[:-1] = indptr_mm[row_slice]
-    indptr[-1] = indptr_mm[row_slice.stop]
-    lo, hi = int(indptr[0]), int(indptr[-1])
-    indices = np.asarray(indices_mm[lo:hi])
-    data = np.asarray(data_mm[lo:hi])
-    indptr -= lo
-    row_block = sparse.csr_matrix(
-        (data, indices, indptr), shape=(num_rows, indptr_mm.size - 1)
-    )
-    block = row_block[:, col_slice].tocsr()
-    pad_rows = block_size - block.shape[0]
-    if pad_rows > 0:
-        indptr2 = np.pad(block.indptr, (0, pad_rows), mode="edge")
-        block = sparse.csr_matrix(
-            (block.data, block.indices, indptr2),
-            shape=(block_size, block_size),
-            dtype=dtype,
-        )
-    else:
-        block = sparse.csr_matrix(block, dtype=dtype)
-    block.sum_duplicates()
-    block.sort_indices()
-    return block

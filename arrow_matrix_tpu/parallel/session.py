@@ -23,6 +23,23 @@ fat layout (2q-1 ranks, banded)             ``block_diagonal=False`` (banded
                                             on TPU one device per block row
                                             holds all three panels in HBM)
 ==========================================  ====================================
+
+Why the fat layout's 2q-1 memory split is unnecessary on TPU (quantified at
+the reference's production width w = 5,000,000, k = 16, float32;
+reference: scripts/decomposition_main.py:123):
+
+* dense state per device: X block (w, k) + head replica (w, k) + result
+  block + head shard + routing buffers  ->  ~4.5 * w * k * 4B = 1.44 GB;
+* sparse panels per device (A_0j, A_jj, A_j0 as ELL index+value pairs,
+  8B/nonzero): the production graphs carry ~16-30 nonzeros/row, i.e. per
+  device (one block row) <= 30 * w nonzeros  ->  ~1.2 GB;
+* total < 3 GB against 16 GB HBM per v5e chip — comfortably resident even
+  with double-buffering, so splitting the three panels across separate
+  row/column ranks (the reference's reason for 2q-1 ranks per matrix,
+  reference: arrow/arrow_mpi.py:26-93) would only idle half the mesh. The
+  split becomes interesting above ~100 nonzeros/row at w = 5M, where the
+  sparse panels alone approach 4 GB; none of the referenced datasets are in
+  that regime.
 """
 
 from __future__ import annotations
@@ -62,7 +79,11 @@ class ArrowSession:
         self.iteration = 0
         if self.n_devices > 1:
             self.plan = compile_plan(
-                decomposition, width, self.n_devices, block_diagonal=block_diagonal
+                decomposition,
+                width,
+                self.n_devices,
+                block_diagonal=block_diagonal,
+                k_hint=features,
             )
             self._runner = ArrowSpmm(self.plan, block_mesh(self.n_devices))
             self._step = self._runner.step
