@@ -41,6 +41,7 @@ def bench_spmm(
     log_dir: str = "./logs",
     seed: int = 0,
     profile: bool = False,
+    mode: str = "auto",
 ) -> dict:
     """Run the iterated arrow SpMM benchmark; returns summary statistics.
 
@@ -49,6 +50,12 @@ def bench_spmm(
         (reference: arrow_bench.py:28-41).
     :param n_devices: block-axis mesh size; defaults to all local devices,
         or 1 for the fused single-chip path.
+    :param mode: single-chip executor — 'local' (all levels merged into one
+        matrix; fastest while the features fit the gather engine's fast
+        regime), 'blocked' (the distributed program's per-block structure;
+        width-bounded gather sources, wins on large matrices), or 'auto'
+        (blocked above ~500k padded rows — the measured crossover on v5e).
+        Ignored when n_devices > 1.
     """
     devices = jax.devices()
     n_devices = n_devices or len(devices)
@@ -87,6 +94,12 @@ def bench_spmm(
         },
     )
 
+    from arrow_matrix_tpu.io.graphio import as_csr
+    from arrow_matrix_tpu.parallel.blocked import blocked_step, compile_blocked_plan
+
+    n_rows = as_csr(decomposition[0][0]).shape[0]
+    if mode == "auto":
+        mode = "blocked" if n_rows > 500_000 else "local"
     with metrics.span("plan_compile_time"):
         if n_devices > 1:
             plan = compile_plan(
@@ -96,8 +109,16 @@ def bench_spmm(
                 block_diagonal=block_diagonal,
                 k_hint=features,
             )
+        elif mode == "blocked":
+            plan = compile_blocked_plan(
+                decomposition, width, block_diagonal=block_diagonal,
+                k_hint=features,
+            )
         else:
-            plan = compile_local_plan(decomposition, width, k_hint=features)
+            plan = compile_local_plan(
+                decomposition, width, k_hint=features,
+                block_diagonal=block_diagonal,
+            )
     nnz = sum(graphio.csr_nnz(m) for m, _ in decomposition)
 
     rng = np.random.default_rng(seed + 1)
@@ -114,7 +135,7 @@ def bench_spmm(
         x = jnp.asarray(
             rng.random((plan.padded_rows, features), dtype=np.float32)
         )
-        jitted = jax.jit(local_step)
+        jitted = jax.jit(blocked_step if mode == "blocked" else local_step)
         if profile:
             # Single chip has no comm phases: the whole step is the kernel.
             def step(x):

@@ -33,6 +33,10 @@ def main(argv=None):
     p.add_argument("--mmap", type=str2bool, default=False)
     p.add_argument("--profile", type=str2bool, default=False,
                    help="separately jitted phases with per-phase span logging")
+    p.add_argument("--mode", choices=["auto", "local", "blocked"],
+                   default="auto",
+                   help="single-chip executor: merged-levels 'local' vs the "
+                        "distributed program's per-block 'blocked' structure")
     p.add_argument("--log_dir", type=str, default="./logs")
     args = p.parse_args(argv)
 
@@ -49,6 +53,7 @@ def main(argv=None):
         use_mmap=args.mmap,
         log_dir=args.log_dir,
         profile=args.profile,
+        mode=args.mode,
     )
     print(json.dumps(stats))
 

@@ -270,3 +270,19 @@ def test_native_forest_is_spanning():
     assert roots.size == ncomp
     order = native.linearize_forest(pred, roots)
     assert np.array_equal(np.sort(order), np.arange(256))
+
+
+def test_bench_spmm_blocked_mode(tmp_path):
+    from arrow_matrix_tpu.bench import bench_spmm
+
+    stats = bench_spmm(
+        width=32,
+        features=8,
+        iterations=2,
+        ba_vertices=128,
+        ba_neighbors=3,
+        n_devices=1,
+        mode="blocked",
+        log_dir=str(tmp_path),
+    )
+    assert stats["nnz_per_s"] > 0

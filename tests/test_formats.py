@@ -129,3 +129,52 @@ def test_bsr_unoccupied_tile_rows_are_zero():
     Y = np.asarray(bsr_spmm(m, jnp.asarray(X)))
     np.testing.assert_allclose(Y[:n], A @ X[:n], rtol=1e-5, atol=1e-5)
     assert np.all(Y[128:] == 0.0)
+
+
+def test_compact_ell_matches_full():
+    from arrow_matrix_tpu.ops.ell import compact_ell_spmm
+    from arrow_matrix_tpu.ops.formats import compact_ell_from_csr, ell_cost_rows
+
+    rng = np.random.default_rng(2)
+    # Mostly-empty rows: the compact layout's home turf.
+    A = sparse.random(500, 300, density=0.002, random_state=rng, format="csr")
+    A = sparse.csr_matrix(A, dtype=np.float32)
+    X = rng.random((300, 8), dtype=np.float32)
+    m = compact_ell_from_csr(A)
+    Y = np.asarray(jax.jit(compact_ell_spmm)(m, jnp.asarray(X)))
+    np.testing.assert_allclose(Y, A @ X, rtol=1e-5, atol=1e-5)
+    full, compact = ell_cost_rows(A)
+    assert compact < full  # sparse rows -> compact must win the cost model
+
+
+def test_compact_ell_empty_and_dense_rows():
+    from arrow_matrix_tpu.ops.ell import compact_ell_spmm
+    from arrow_matrix_tpu.ops.formats import compact_ell_from_csr
+
+    rng = np.random.default_rng(3)
+    A = np.zeros((64, 64), dtype=np.float32)
+    A[5] = rng.random(64)  # one dense row among empties
+    A[40, 3] = 2.5
+    A = sparse.csr_matrix(A)
+    X = rng.random((64, 4), dtype=np.float32)
+    m = compact_ell_from_csr(A)
+    Y = np.asarray(compact_ell_spmm(m, jnp.asarray(X)))
+    np.testing.assert_allclose(Y, A.toarray() @ X, rtol=1e-5, atol=1e-5)
+
+
+def test_stacked_compact_ells_match_members():
+    from arrow_matrix_tpu.ops.dispatch import apply_mat, take_block
+    from arrow_matrix_tpu.ops.formats import stack_compact_ells_from_csr
+
+    rng = np.random.default_rng(4)
+    blocks = [
+        sparse.csr_matrix(
+            sparse.random(80, 80, density=d, random_state=rng), dtype=np.float32
+        )
+        for d in (0.001, 0.02, 0.1)
+    ]
+    stacked = stack_compact_ells_from_csr(blocks)
+    X = rng.random((80, 8), dtype=np.float32)
+    for j, b in enumerate(blocks):
+        got = np.asarray(apply_mat(take_block(stacked, j), jnp.asarray(X), 80))
+        np.testing.assert_allclose(got, b @ X, rtol=1e-5, atol=1e-5)
