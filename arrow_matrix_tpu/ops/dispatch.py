@@ -14,8 +14,8 @@ from typing import Optional
 import jax.numpy as jnp
 
 from arrow_matrix_tpu.ops.bsr_pallas import BsrMat, bsr_spmm
-from arrow_matrix_tpu.ops.ell import compact_ell_spmm, ell_spmm
-from arrow_matrix_tpu.ops.formats import CompactEll, EllMat
+from arrow_matrix_tpu.ops.ell import compact_ell_spmm, ell_spmm, packed_ell_spmm
+from arrow_matrix_tpu.ops.formats import CompactEll, EllMat, PackedEll, SumMat
 from arrow_matrix_tpu.ops.tiling import (
     DEFAULT_VMEM_BUDGET,
     plan_feature_tiles,
@@ -93,8 +93,16 @@ def apply_mat(m, x: jnp.ndarray, n_rows_out: int) -> Optional[jnp.ndarray]:
     blocks contribute nothing."""
     if m is None:
         return None
+    if isinstance(m, SumMat):
+        out = None
+        for part in m.parts:
+            y = apply_mat(part, x, n_rows_out)
+            out = y if out is None else out + y
+        return out
     if isinstance(m, BsrMat):
         return bsr_apply(m, x, n_rows_out)
     if isinstance(m, CompactEll):
         return compact_ell_spmm(m, x)
+    if isinstance(m, PackedEll):
+        return packed_ell_spmm(m, x)
     return ell_spmm(m, x)

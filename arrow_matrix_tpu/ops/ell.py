@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from arrow_matrix_tpu.ops.formats import CompactEll, EllMat
+from arrow_matrix_tpu.ops.formats import CompactEll, EllMat, PackedEll
 
 
 def _zero_row(x: jnp.ndarray) -> jnp.ndarray:
@@ -62,6 +62,21 @@ def ell_spmm(A: EllMat, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     # lowers to per-element operand selection and runs ~10x slower (profiled).
     (buf,) = jax.lax.optimization_barrier((buf,))
     y = base + jnp.take(buf, final[:, 0], axis=0)
+    return y.astype(x.dtype)
+
+
+def packed_ell_spmm(A: PackedEll, x: jnp.ndarray) -> jnp.ndarray:
+    """Multiply a (single, unstacked) :class:`PackedEll` by a dense
+    (n_cols, k) matrix: gather + multiply per slot, in-chunk prefix sums,
+    then each row's sum is the difference of two boundary gathers —
+    slot count ~ nnz even when rows average one nonzero."""
+    k = x.shape[-1]
+    gathered = jnp.take(x, A.idx.reshape(-1), axis=0).reshape(A.idx.shape + (k,))
+    c = A.val.astype(jnp.float32)[..., None] * gathered.astype(jnp.float32)
+    p = jnp.cumsum(c, axis=1).reshape(-1, k)  # (V*chunk, k)
+    pz = _zero_row(p)
+    (pz,) = jax.lax.optimization_barrier((pz,))
+    y = jnp.take(pz, A.end_idx, axis=0) - jnp.take(pz, A.beg_idx, axis=0)
     return y.astype(x.dtype)
 
 

@@ -102,6 +102,136 @@ class CompactEll:
     n_cols: int = struct.field(pytree_node=False)
 
 
+@struct.dataclass
+class PackedEll:
+    """Chunk-packed ELL for ULTRA-sparse matrices (rows with <= chunk
+    nonzeros): multiple rows share one chunk of slots, so slot count is
+    ~nnz (bin-packed), not occupied_rows * R.
+
+    The identity/compact layouts pay R (=8) slots per occupied row — ruinous
+    when rows average ~1 nonzero (deep arrow levels at large q measured 6-8x
+    slot inflation). Here rows are first-fit-decreasing packed into 8-slot
+    chunks (never crossing a chunk boundary); the SpMM computes per-chunk
+    prefix sums of the slot contributions and recovers each row's sum as a
+    difference of two boundary positions:
+
+        c = val * X[idx]              # (V, 8, k) gather + multiply
+        p = cumsum(c, axis=1)         # in-chunk prefix sums
+        y[r] = p[end_r] - p[beg_r]    # two (n_rows,) boundary gathers
+
+    ``end_idx[r]`` flat-indexes row r's last slot; ``beg_idx[r]`` the slot
+    BEFORE its first (or the appended zero row when the row starts its
+    chunk or is empty).
+    """
+
+    idx: np.ndarray  # (V, chunk) int32 column per slot (0 for padding)
+    val: np.ndarray  # (V, chunk) values (0 for padding)
+    end_idx: np.ndarray  # (n_rows,) int32 into flat (V*chunk) + zero row
+    beg_idx: np.ndarray  # (n_rows,) int32 into flat (V*chunk) + zero row
+    n_rows: int = struct.field(pytree_node=False)
+    n_cols: int = struct.field(pytree_node=False)
+
+
+def packed_ell_from_csr(A: sparse.csr_matrix, chunk: int = 8) -> PackedEll:
+    """Pack a matrix whose rows all have <= ``chunk`` nonzeros.
+
+    Vectorized size-class packing: rows of equal nonzero count s pack
+    ``chunk // s`` per chunk (>= 62.5% slot occupancy for chunk=8), with no
+    per-row Python loop — plan compilation stays O(nnz) vectorized."""
+    A = A.tocsr()
+    A.sum_duplicates()
+    n_rows, n_cols = A.shape
+    nnz_per_row = np.diff(A.indptr).astype(np.int64)
+    assert int(nnz_per_row.max(initial=0)) <= chunk, "rows exceed chunk size"
+
+    flat_start = np.zeros(n_rows, dtype=np.int64)  # flat slot of row start
+    start_in_chunk = np.zeros(n_rows, dtype=np.int64)
+    chunk_offset = 0
+    for s in range(1, chunk + 1):
+        rows_s = np.flatnonzero(nnz_per_row == s)
+        if rows_s.size == 0:
+            continue
+        per_chunk = chunk // s
+        j = np.arange(rows_s.size, dtype=np.int64)
+        cid = chunk_offset + j // per_chunk
+        pos = (j % per_chunk) * s
+        flat_start[rows_s] = cid * chunk + pos
+        start_in_chunk[rows_s] = pos
+        chunk_offset = int(cid[-1]) + 1
+    V = max(chunk_offset, 1)
+
+    idx = np.zeros(V * chunk, dtype=np.int32)
+    val = np.zeros(V * chunk, dtype=np.float32)
+    if A.nnz:
+        j_within = np.arange(A.nnz, dtype=np.int64) - np.repeat(
+            A.indptr[:-1].astype(np.int64), nnz_per_row
+        )
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), nnz_per_row)
+        target = flat_start[rows] + j_within
+        idx[target] = A.indices
+        val[target] = A.data.astype(np.float32)
+
+    zero_row = V * chunk
+    has = nnz_per_row > 0
+    end_idx = np.full(n_rows, zero_row, dtype=np.int32)
+    beg_idx = np.full(n_rows, zero_row, dtype=np.int32)
+    end_idx[has] = (flat_start[has] + nnz_per_row[has] - 1).astype(np.int32)
+    interior = has & (start_in_chunk > 0)
+    beg_idx[interior] = (flat_start[interior] - 1).astype(np.int32)
+    return PackedEll(
+        idx=idx.reshape(V, chunk),
+        val=val.reshape(V, chunk),
+        end_idx=end_idx,
+        beg_idx=beg_idx,
+        n_rows=n_rows,
+        n_cols=n_cols,
+    )
+
+
+@struct.dataclass
+class SumMat:
+    """A sum of sparse parts applied to the same operand — e.g. chunk-packed
+    light rows + identity/compact heavy rows of one block."""
+
+    parts: tuple
+    n_rows: int = struct.field(pytree_node=False)
+    n_cols: int = struct.field(pytree_node=False)
+
+
+def packed_cost_rows(A: sparse.csr_matrix, chunk: int = 8) -> int:
+    """Estimated gathered rows for the chunk-packed layout of A (rows with
+    more than ``chunk`` nonzeros excluded by the caller): packed slots plus
+    the two boundary gathers."""
+    nnz_per_row = np.diff(A.tocsr().indptr).astype(np.int64)
+    slots = 0
+    for s in range(1, chunk + 1):
+        m = int((nnz_per_row == s).sum())
+        if m:
+            per_chunk = chunk // s
+            slots += -(-m // per_chunk) * chunk
+    return slots + 2 * A.shape[0]
+
+
+def split_by_row_weight(
+    A: sparse.csr_matrix, thresh: int = 8
+) -> tuple[sparse.csr_matrix, sparse.csr_matrix]:
+    """Split A = light + heavy by row nonzero count (rows <= thresh go to
+    light) — light rows take the chunk-packed layout, heavy rows the
+    identity/compact layouts."""
+    A = A.tocsr()
+    nnz_per_row = np.diff(A.indptr)
+    light_rows = nnz_per_row <= thresh
+    coo = A.tocoo()
+    lm = light_rows[coo.row]
+    light = sparse.csr_matrix(
+        (coo.data[lm], (coo.row[lm], coo.col[lm])), shape=A.shape
+    )
+    heavy = sparse.csr_matrix(
+        (coo.data[~lm], (coo.row[~lm], coo.col[~lm])), shape=A.shape
+    )
+    return light, heavy
+
+
 def choose_slot_count(nnz_per_row: np.ndarray, max_r: int = 512) -> int:
     """Pick the per-virtual-row slot count R minimizing total slots in the
     first-chunk-identity layout: every row pays R identity slots; rows with

@@ -45,16 +45,27 @@ from scipy import sparse
 from arrow_matrix_tpu.ops.bsr_pallas import bsr_from_csr, preferred_format
 from arrow_matrix_tpu.ops.dispatch import apply_mat
 from arrow_matrix_tpu.ops.formats import (
+    SumMat,
     compact_ell_from_csr,
     ell_cost_rows,
     ell_from_csr,
+    packed_cost_rows,
+    packed_ell_from_csr,
+    split_by_row_weight,
 )
 
 
 @struct.dataclass
 class BlockedLevel:
-    """Per-level, per-block matrices (tuples of length q_i; entries may be
-    None for structurally empty blocks).
+    """Per-level BLOCK-ROW STRIPES: entry j is the level matrix's row block
+    j as ONE matrix over the level-ordered features (head row panel for
+    j = 0; column panel + diagonal block (+ banded neighbors) for j >= 1).
+    One chip serializes the blocks, so folding each block row's roles into
+    a single matrix pays the per-row format floor ONCE per block instead of
+    once per role, and the head reduction sum_j A_0j X_j happens inside
+    stripe 0's own SpMM — while every row's column indices stay confined to
+    2-4 width-sized windows of the feature buffer (the gather engine's fast
+    regime). Entries may be None for structurally empty stripes.
 
     Routing on one chip needs no all_to_all emulation — the level exchange
     IS a gather. ``dst_to_src`` maps the level's (cut,) positions to level-0
@@ -63,11 +74,7 @@ class BlockedLevel:
     are monotone within each block (plan-time localization), so the gathers
     stream near-sequentially regardless of total matrix size."""
 
-    head: tuple
-    diag: tuple
-    col: tuple
-    band_lo: Optional[tuple]
-    band_hi: Optional[tuple]
+    stripes: tuple
     dst_to_src: Optional[jnp.ndarray]
     src_to_dst: Optional[jnp.ndarray]
     n_active_blocks: int = struct.field(pytree_node=False)
@@ -87,17 +94,74 @@ class BlockedPlan:
         return self.width * self.n_blocks
 
 
+def _build_ell_or_compact(b: sparse.csr_matrix):
+    full, compact = ell_cost_rows(b)
+    if compact < full:
+        return compact_ell_from_csr(b)
+    return ell_from_csr(b)
+
+
 def _build_block(b: sparse.csr_matrix, k_hint: int):
     """Per-block format choice: None (empty), BSR (dense-ish tiles), or the
-    cheaper of full-identity / row-compressed ELL by gathered-row count."""
+    cheapest gather layout by estimated gathered rows — full-identity ELL,
+    row-compressed CompactEll, or chunk-packed PackedEll for the light rows
+    (optionally summed with a compact part for the heavy rows)."""
     if b.nnz == 0:
         return None
     if preferred_format(b, k_hint) == "bsr":
         return bsr_from_csr(b)
     full, compact = ell_cost_rows(b)
-    if compact < full:
-        return compact_ell_from_csr(b)
-    return ell_from_csr(b)
+    best = min(full, compact)
+    light, heavy = split_by_row_weight(b, 8)
+    if light.nnz:
+        hybrid = packed_cost_rows(light)
+        if heavy.nnz:
+            hf, hc = ell_cost_rows(heavy)
+            hybrid += min(hf, hc)
+        if hybrid < best:
+            parts = [packed_ell_from_csr(light)]
+            if heavy.nnz:
+                parts.append(_build_ell_or_compact(heavy))
+            if len(parts) == 1:
+                return parts[0]
+            return SumMat(
+                parts=tuple(parts), n_rows=b.shape[0], n_cols=b.shape[1]
+            )
+    return _build_ell_or_compact(b)
+
+
+def _build_stripe(raw, j: int, width: int, q_i: int) -> sparse.csr_matrix:
+    """Assemble block row j of a level as one (width, q_i*width) matrix in
+    level order from the extracted role blocks."""
+    parts = []
+    if j == 0:
+        for c in range(q_i):
+            parts.append((raw.head[c], c))
+    else:
+        parts.append((raw.col[j], 0))
+        parts.append((raw.diag[j], j))
+        if raw.band_lo is not None:
+            if j >= 2:
+                parts.append((raw.band_lo[j], j - 1))
+            if j < q_i - 1:
+                parts.append((raw.band_hi[j], j + 1))
+    rows, cols, vals = [], [], []
+    for blk, c in parts:
+        if blk.nnz == 0:
+            continue
+        coo = blk.tocoo()
+        rows.append(coo.row)
+        cols.append(coo.col + c * width)
+        vals.append(coo.data)
+    if not rows:
+        return sparse.csr_matrix((width, q_i * width), dtype=np.float32)
+    S = sparse.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(width, q_i * width),
+    )
+    S.sum_duplicates()
+    S.sort_indices()
+    return S
 
 
 def compile_blocked_plan(
@@ -109,8 +173,8 @@ def compile_blocked_plan(
     routing_pad_multiple: int = 8,
 ) -> BlockedPlan:
     """Compile a decomposition for the blocked single-chip executor: the same
-    block cut and routing tables as the distributed :func:`compile_plan`,
-    with per-block independent formats."""
+    block cut and routing maps as the distributed :func:`compile_plan`, with
+    per-block-row stripes in independently chosen formats."""
     from arrow_matrix_tpu.io.graphio import as_csr
     from arrow_matrix_tpu.plan.compile import extract_levels
 
@@ -124,9 +188,10 @@ def compile_blocked_plan(
     levels = []
     for raw in raw_levels:
         q_i = raw.n_active_blocks
-
-        def role(blocks):
-            return tuple(_build_block(b, k_hint) for b in blocks[:q_i])
+        stripes = tuple(
+            _build_block(_build_stripe(raw, j, width, q_i), k_hint)
+            for j in range(q_i)
+        )
 
         d2s = s2d = None
         if raw.route is not None:
@@ -139,11 +204,7 @@ def compile_blocked_plan(
 
         levels.append(
             BlockedLevel(
-                head=role(raw.head),
-                diag=role(raw.diag),
-                col=role(raw.col),
-                band_lo=role(raw.band_lo) if raw.band_lo is not None else None,
-                band_hi=role(raw.band_hi) if raw.band_hi is not None else None,
+                stripes=stripes,
                 dst_to_src=d2s,
                 src_to_dst=s2d,
                 n_active_blocks=q_i,
@@ -160,45 +221,21 @@ def compile_blocked_plan(
     )
 
 
-def _apply(m, x: jnp.ndarray, width: int) -> Optional[jnp.ndarray]:
-    """Apply one block matrix; None blocks contribute nothing."""
-    return apply_mat(m, x, width)
-
-
-def _acc(a: Optional[jnp.ndarray], b: Optional[jnp.ndarray]):
-    if a is None:
-        return b
-    if b is None:
-        return a
-    return a + b
-
-
-def _level_spmm_blocked(lvl: BlockedLevel, xq: jnp.ndarray, width: int) -> jnp.ndarray:
-    """Per-block level SpMM; xq is (q_i, width, k) feature blocks in the
-    level's order; returns (q_i, width, k) result blocks. Mirrors
-    ``arrow_spmm._level_spmm`` with the psum unrolled into an on-chip sum
-    and empty blocks skipped."""
-    q_i, _, k = xq.shape
-    zero = jnp.zeros((width, k), xq.dtype)
-
-    c_0 = None
-    for j in range(q_i):
-        c_0 = _acc(c_0, _apply(lvl.head[j], xq[j], width))
-    c_0 = c_0 if c_0 is not None else zero
-    x_0 = xq[0]
-
-    outs = [c_0]
-    for j in range(1, q_i):
-        c_j = _acc(
-            _apply(lvl.diag[j], xq[j], width), _apply(lvl.col[j], x_0, width)
-        )
-        if lvl.band_lo is not None:
-            if j >= 2:
-                c_j = _acc(c_j, _apply(lvl.band_lo[j], xq[j - 1], width))
-            if j < q_i - 1:
-                c_j = _acc(c_j, _apply(lvl.band_hi[j], xq[j + 1], width))
-        outs.append(c_j if c_j is not None else zero)
-    return jnp.stack(outs)
+def _level_spmm_blocked(
+    lvl: BlockedLevel, x_lvl: jnp.ndarray, width: int
+) -> jnp.ndarray:
+    """Level SpMM over block-row stripes; x_lvl is (q_i*width, k) features in
+    the level's order; returns (q_i*width, k). Stripe 0 computes the reduced
+    head result sum_j A_0j X_j directly; stripe j >= 1 computes
+    C_j = A_j0 X_0 + A_jj X_j (+ banded neighbor terms)
+    (reference: arrow/arrow_slim_mpi.py:78-156)."""
+    k = x_lvl.shape[1]
+    zero = jnp.zeros((width, k), x_lvl.dtype)
+    outs = [
+        apply_mat(s, x_lvl, width) if s is not None else zero
+        for s in lvl.stripes
+    ]
+    return jnp.concatenate(outs, axis=0)
 
 
 def blocked_step(plan: BlockedPlan, x: jnp.ndarray) -> jnp.ndarray:
@@ -215,23 +252,21 @@ def blocked_step(plan: BlockedPlan, x: jnp.ndarray) -> jnp.ndarray:
     """
     q, width = plan.n_blocks, plan.width
     k = x.shape[1]
-    xq = x.reshape(q, width, k)
     q0 = plan.levels[0].n_active_blocks
-    c = _level_spmm_blocked(plan.levels[0], xq[:q0], width)
+    c = _level_spmm_blocked(plan.levels[0], x[: q0 * width], width)
     if q0 < q:
-        c = jnp.concatenate([c, jnp.zeros((q - q0, width, k), x.dtype)], axis=0)
+        c = jnp.concatenate(
+            [c, jnp.zeros(((q - q0) * width, k), x.dtype)], axis=0
+        )
     for lvl in plan.levels[1:]:
-        q_i = lvl.n_active_blocks
         # Forward: level-order features, gathered straight from level-0
         # order (reference: _propagate_features_forwards,
         # arrow_dec_mpi.py:507-610).
-        x_i = jnp.take(x, lvl.dst_to_src, axis=0).reshape(q_i, width, k)
+        x_i = jnp.take(x, lvl.dst_to_src, axis=0)
         c_i = _level_spmm_blocked(lvl, x_i, width)
         # Backward: add each level row's result onto its level-0 source row
         # (reference: _aggregate_features_backwards, arrow_dec_mpi.py:404-505).
-        c_pad = jnp.concatenate(
-            [c_i.reshape(q_i * width, k), jnp.zeros((1, k), x.dtype)], axis=0
-        )
+        c_pad = jnp.concatenate([c_i, jnp.zeros((1, k), x.dtype)], axis=0)
         (c_pad,) = jax.lax.optimization_barrier((c_pad,))
-        c = c + jnp.take(c_pad, lvl.src_to_dst, axis=0).reshape(q, width, k)
-    return c.reshape(q * width, k)
+        c = c + jnp.take(c_pad, lvl.src_to_dst, axis=0)
+    return c

@@ -178,3 +178,55 @@ def test_stacked_compact_ells_match_members():
     for j, b in enumerate(blocks):
         got = np.asarray(apply_mat(take_block(stacked, j), jnp.asarray(X), 80))
         np.testing.assert_allclose(got, b @ X, rtol=1e-5, atol=1e-5)
+
+
+def test_packed_ell_matches_golden():
+    from arrow_matrix_tpu.ops.ell import packed_ell_spmm
+    from arrow_matrix_tpu.ops.formats import packed_ell_from_csr
+
+    rng = np.random.default_rng(7)
+    # Ultra-sparse: rows of 0-8 nonzeros.
+    A = sparse.random(400, 250, density=0.004, random_state=rng, format="csr")
+    A = sparse.csr_matrix(A, dtype=np.float32)
+    X = rng.random((250, 8), dtype=np.float32)
+    m = packed_ell_from_csr(A)
+    Y = np.asarray(jax.jit(packed_ell_spmm)(m, jnp.asarray(X)))
+    np.testing.assert_allclose(Y, A @ X, rtol=1e-5, atol=1e-5)
+    # Slot count near nnz, not occupied_rows * 8.
+    assert m.idx.size <= max(8, 4 * A.nnz + 8)
+
+
+def test_packed_ell_all_sizes():
+    from arrow_matrix_tpu.ops.ell import packed_ell_spmm
+    from arrow_matrix_tpu.ops.formats import packed_ell_from_csr
+
+    rng = np.random.default_rng(8)
+    # One row of each size 0..8.
+    rows, cols, vals = [], [], []
+    for r, s in enumerate(range(9)):
+        c = rng.choice(64, size=s, replace=False)
+        rows += [r] * s
+        cols += list(c)
+        vals += list(rng.random(s))
+    A = sparse.csr_matrix(
+        (np.array(vals, dtype=np.float32), (rows, cols)), shape=(9, 64)
+    )
+    X = rng.random((64, 4), dtype=np.float32)
+    m = packed_ell_from_csr(A)
+    Y = np.asarray(packed_ell_spmm(m, jnp.asarray(X)))
+    np.testing.assert_allclose(Y, A @ X, rtol=1e-5, atol=1e-5)
+
+
+def test_split_by_row_weight_and_summat():
+    from arrow_matrix_tpu.ops.dispatch import apply_mat
+    from arrow_matrix_tpu.parallel.blocked import _build_block
+    from arrow_matrix_tpu.ops.formats import split_by_row_weight
+
+    A = barabasi_albert(300, 4, seed=9).astype(np.float32)
+    light, heavy = split_by_row_weight(A, 8)
+    assert (light + heavy - A).nnz == 0
+    assert int(np.diff(light.indptr).max()) <= 8
+    m = _build_block(sparse.csr_matrix(A), 16)
+    X = np.random.default_rng(1).random((300, 8), dtype=np.float32)
+    got = np.asarray(apply_mat(m, jnp.asarray(X), 300))
+    np.testing.assert_allclose(got, A @ X, rtol=1e-4, atol=1e-4)
