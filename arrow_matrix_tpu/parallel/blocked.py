@@ -57,27 +57,38 @@ from arrow_matrix_tpu.ops.formats import (
 
 @struct.dataclass
 class BlockedLevel:
-    """Per-level BLOCK-ROW STRIPES: entry j is the level matrix's row block
-    j as ONE matrix over the level-ordered features (head row panel for
-    j = 0; column panel + diagonal block (+ banded neighbors) for j >= 1).
-    One chip serializes the blocks, so folding each block row's roles into
-    a single matrix pays the per-row format floor ONCE per block instead of
-    once per role, and the head reduction sum_j A_0j X_j happens inside
-    stripe 0's own SpMM — while every row's column indices stay confined to
-    2-4 width-sized windows of the feature buffer (the gather engine's fast
-    regime). Entries may be None for structurally empty stripes.
+    """Per-level BLOCK-ROW STRIPES over MATERIALIZED width-windows.
+
+    The gather engine runs ~0.7 G rows/s only from materialized sources of
+    ~<= 13MB; ANY gather whose source buffer is the full feature matrix
+    drops to ~0.15 G rows/s at 1M+ rows — measured even for
+    monotone-within-block index patterns (lazy slices fuse back into
+    big-buffer gathers). So each level first materializes its width-sized
+    feature windows (barriered copies; sequential, bandwidth-trivial) and
+    every stripe part gathers from its own small window buffer with
+    window-LOCAL column indices:
+
+    * stripe j >= 1 is one part over windows {0, j} (+ banded neighbors):
+      column panel + diagonal (+ bands) folded into ONE matrix — the
+      per-row format floor paid once per block row;
+    * stripe 0 (head row panel) is one part PER column block, summed —
+      keeping each part's gathers inside one window; the head reduction
+      sum_j A_0j X_j is this sum.
+
+    ``parts[j]`` is the tuple of matrices of stripe j (None = empty);
+    ``windows[j]`` the matching tuples of window block-ids (static).
 
     Routing on one chip needs no all_to_all emulation — the level exchange
     IS a gather. ``dst_to_src`` maps the level's (cut,) positions to level-0
-    positions; ``src_to_dst`` is the inverse over all (q*width,) level-0
-    positions with ``cut`` (an appended zero row) for unrouted rows. Both
-    are monotone within each block (plan-time localization), so the gathers
-    stream near-sequentially regardless of total matrix size."""
+    positions (None for level 0); ``src_to_dst`` is the inverse over all
+    (q*width,) level-0 positions with ``cut`` (an appended zero row) for
+    unrouted rows."""
 
-    stripes: tuple
+    parts: tuple
     dst_to_src: Optional[jnp.ndarray]
     src_to_dst: Optional[jnp.ndarray]
-    n_active_blocks: int = struct.field(pytree_node=False)
+    windows: tuple = struct.field(pytree_node=False, default=())
+    n_active_blocks: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -130,38 +141,56 @@ def _build_block(b: sparse.csr_matrix, k_hint: int):
     return _build_ell_or_compact(b)
 
 
-def _build_stripe(raw, j: int, width: int, q_i: int) -> sparse.csr_matrix:
-    """Assemble block row j of a level as one (width, q_i*width) matrix in
-    level order from the extracted role blocks."""
-    parts = []
-    if j == 0:
-        for c in range(q_i):
-            parts.append((raw.head[c], c))
-    else:
-        parts.append((raw.col[j], 0))
-        parts.append((raw.diag[j], j))
-        if raw.band_lo is not None:
-            if j >= 2:
-                parts.append((raw.band_lo[j], j - 1))
-            if j < q_i - 1:
-                parts.append((raw.band_hi[j], j + 1))
+def _merge_window_blocks(
+    blocks_and_windows, width: int
+) -> tuple[sparse.csr_matrix, tuple]:
+    """Fold several (block, window-id) pairs into one matrix whose columns
+    are window-LOCAL: window order follows the sorted distinct ids."""
+    windows = tuple(sorted({c for blk, c in blocks_and_windows if blk.nnz}))
+    pos = {c: i for i, c in enumerate(windows)}
     rows, cols, vals = [], [], []
-    for blk, c in parts:
+    for blk, c in blocks_and_windows:
         if blk.nnz == 0:
             continue
         coo = blk.tocoo()
         rows.append(coo.row)
-        cols.append(coo.col + c * width)
+        cols.append(coo.col + pos[c] * width)
         vals.append(coo.data)
     if not rows:
-        return sparse.csr_matrix((width, q_i * width), dtype=np.float32)
+        return sparse.csr_matrix((width, width), dtype=np.float32), ()
     S = sparse.csr_matrix(
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-        shape=(width, q_i * width),
+        shape=(width, max(len(windows), 1) * width),
     )
     S.sum_duplicates()
     S.sort_indices()
-    return S
+    return S, windows
+
+
+def _build_stripe(raw, j: int, width: int, q_i: int, k_hint: int):
+    """Stripe j of a level as (parts, window-id tuples): head row panel
+    split per column block for j = 0; column panel + diagonal (+ banded
+    neighbors) folded into one window-local matrix for j >= 1."""
+    if j == 0:
+        parts, wins = [], []
+        for c in range(q_i):
+            if raw.head[c].nnz == 0:
+                continue
+            parts.append(_build_block(raw.head[c], k_hint))
+            wins.append((c,))
+        if not parts:
+            return (None,), ((0,),)
+        return tuple(parts), tuple(wins)
+    pairs = [(raw.col[j], 0), (raw.diag[j], j)]
+    if raw.band_lo is not None:
+        if j >= 2:
+            pairs.append((raw.band_lo[j], j - 1))
+        if j < q_i - 1:
+            pairs.append((raw.band_hi[j], j + 1))
+    S, windows = _merge_window_blocks(pairs, width)
+    if S.nnz == 0:
+        return (None,), ((0,),)
+    return (_build_block(S, k_hint),), (windows,)
 
 
 def compile_blocked_plan(
@@ -188,10 +217,11 @@ def compile_blocked_plan(
     levels = []
     for raw in raw_levels:
         q_i = raw.n_active_blocks
-        stripes = tuple(
-            _build_block(_build_stripe(raw, j, width, q_i), k_hint)
-            for j in range(q_i)
-        )
+        parts, windows = [], []
+        for j in range(q_i):
+            p, w_ids = _build_stripe(raw, j, width, q_i, k_hint)
+            parts.append(p)
+            windows.append(w_ids)
 
         d2s = s2d = None
         if raw.route is not None:
@@ -204,7 +234,8 @@ def compile_blocked_plan(
 
         levels.append(
             BlockedLevel(
-                stripes=stripes,
+                parts=tuple(parts),
+                windows=tuple(windows),
                 dst_to_src=d2s,
                 src_to_dst=s2d,
                 n_active_blocks=q_i,
@@ -222,19 +253,29 @@ def compile_blocked_plan(
 
 
 def _level_spmm_blocked(
-    lvl: BlockedLevel, x_lvl: jnp.ndarray, width: int
+    lvl: BlockedLevel, xin: list, width: int
 ) -> jnp.ndarray:
-    """Level SpMM over block-row stripes; x_lvl is (q_i*width, k) features in
-    the level's order; returns (q_i*width, k). Stripe 0 computes the reduced
-    head result sum_j A_0j X_j directly; stripe j >= 1 computes
-    C_j = A_j0 X_0 + A_jj X_j (+ banded neighbor terms)
-    (reference: arrow/arrow_slim_mpi.py:78-156)."""
-    k = x_lvl.shape[1]
-    zero = jnp.zeros((width, k), x_lvl.dtype)
-    outs = [
-        apply_mat(s, x_lvl, width) if s is not None else zero
-        for s in lvl.stripes
-    ]
+    """Level SpMM over block-row stripes; ``xin`` is the list of q_i
+    MATERIALIZED (width, k) feature windows in the level's order; returns
+    (q_i*width, k). Stripe 0 computes the reduced head result
+    sum_j A_0j X_j; stripe j >= 1 computes C_j = A_j0 X_0 + A_jj X_j
+    (+ banded neighbor terms) (reference: arrow/arrow_slim_mpi.py:78-156)."""
+    k = xin[0].shape[1]
+    zero = jnp.zeros((width, k), xin[0].dtype)
+    outs = []
+    for parts, wins in zip(lvl.parts, lvl.windows):
+        y = None
+        for mat, ws in zip(parts, wins):
+            if mat is None:
+                continue
+            if len(ws) == 1:
+                xw = xin[ws[0]]
+            else:
+                xw = jnp.concatenate([xin[c] for c in ws], axis=0)
+                (xw,) = jax.lax.optimization_barrier((xw,))
+            contrib = apply_mat(mat, xw, width)
+            y = contrib if y is None else y + contrib
+        outs.append(y if y is not None else zero)
     return jnp.concatenate(outs, axis=0)
 
 
@@ -252,18 +293,34 @@ def blocked_step(plan: BlockedPlan, x: jnp.ndarray) -> jnp.ndarray:
     """
     q, width = plan.n_blocks, plan.width
     k = x.shape[1]
-    q0 = plan.levels[0].n_active_blocks
-    c = _level_spmm_blocked(plan.levels[0], x[: q0 * width], width)
+
+    def level_windows(lvl):
+        """Materialize the level's (width, k) feature windows — explicit
+        barriered copies so every stripe gather reads a SMALL buffer (lazy
+        slices would fuse back into the slow big-source gather)."""
+        q_i = lvl.n_active_blocks
+        if lvl.dst_to_src is None:
+            xin = [x[c * width : (c + 1) * width] for c in range(q_i)]
+        else:
+            # Forward routing composed into the window builds: window c of
+            # the level gathers its rows straight from level-0 order
+            # (reference: _propagate_features_forwards,
+            # arrow_dec_mpi.py:507-610).
+            xin = [
+                jnp.take(x, lvl.dst_to_src[c * width : (c + 1) * width], axis=0)
+                for c in range(q_i)
+            ]
+        return list(jax.lax.optimization_barrier(tuple(xin)))
+
+    lvl0 = plan.levels[0]
+    q0 = lvl0.n_active_blocks
+    c = _level_spmm_blocked(lvl0, level_windows(lvl0), width)
     if q0 < q:
         c = jnp.concatenate(
             [c, jnp.zeros(((q - q0) * width, k), x.dtype)], axis=0
         )
     for lvl in plan.levels[1:]:
-        # Forward: level-order features, gathered straight from level-0
-        # order (reference: _propagate_features_forwards,
-        # arrow_dec_mpi.py:507-610).
-        x_i = jnp.take(x, lvl.dst_to_src, axis=0)
-        c_i = _level_spmm_blocked(lvl, x_i, width)
+        c_i = _level_spmm_blocked(lvl, level_windows(lvl), width)
         # Backward: add each level row's result onto its level-0 source row
         # (reference: _aggregate_features_backwards, arrow_dec_mpi.py:404-505).
         c_pad = jnp.concatenate([c_i, jnp.zeros((1, k), x.dtype)], axis=0)

@@ -33,7 +33,12 @@ from arrow_matrix_tpu.ops.bsr_pallas import (
     preferred_format_blocks,
     stack_bsr_from_csr,
 )
-from arrow_matrix_tpu.ops.formats import EllMat, stack_ells_from_csr
+from arrow_matrix_tpu.ops.formats import (
+    EllMat,
+    ell_cost_rows,
+    stack_compact_ells_from_csr,
+    stack_ells_from_csr,
+)
 from arrow_matrix_tpu.plan.routing import (
     RouteTables,
     ShardedRouteTables,
@@ -402,10 +407,18 @@ def compile_plan(
 
     def build_role(blocks):
         # One static format per role (identical per-device programs under
-        # shard_map); the Pallas BSR kernel takes dense-enough roles.
+        # shard_map): Pallas BSR for dense-enough roles, else the cheaper of
+        # full-identity and row-compressed ELL by the stacked (max-block)
+        # gathered-row cost — sparse deep-level roles would otherwise pay
+        # width x R slots per device.
         fmt = force_format or preferred_format_blocks(blocks, k_hint)
         if fmt == "bsr":
             return stack_bsr_from_csr(blocks)
+        if force_format == "ell":
+            return stack_ells_from_csr(blocks, slots_per_row)
+        costs = [ell_cost_rows(b) for b in blocks]
+        if max(c for _, c in costs) < max(f for f, _ in costs):
+            return stack_compact_ells_from_csr(blocks, slots_per_row)
         return stack_ells_from_csr(blocks, slots_per_row)
 
     levels = []
