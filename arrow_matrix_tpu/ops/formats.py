@@ -2,8 +2,21 @@
 
 The reference's local kernel is row-dynamic CSR (scipy on CPU, cuSPARSE via
 CuPy on GPU — reference: arrow/common/sp2cp.py, arrow/arrow_mpi.py:196-272).
-Neither maps to XLA: TPU kernels need static shapes and regular access. The
-workhorse here is a padded ELL format with *heavy-row splitting*:
+Neither maps to XLA: TPU kernels need static shapes and regular access. Four
+gather-friendly containers cover the density spectrum (the Pallas BSR tile
+format for MXU-worthy blocks lives in ops/bsr_pallas.py); every SpMM is
+gather + multiply + static reduction — no scatter, no dynamic shapes:
+
+* :class:`EllMat` — identity-layout padded ELL with heavy-row splitting,
+  the workhorse for whole matrices (cost ~ n_rows * R slots);
+* :class:`CompactEll` — row-compressed wrapper for matrices with many empty
+  rows (cost ~ occupied_rows * R + a row-expansion gather);
+* :class:`PackedEll` — chunk-packed layout for ultra-sparse matrices (rows
+  averaging ~1 nonzero): cost ~ nnz slots + two boundary gathers;
+* :class:`SumMat` — a sum of per-density parts of one block (e.g. packed
+  light rows + compact heavy rows).
+
+The identity-layout details:
 
 * virtual row r < n_rows IS row r: it holds the row's first ``R`` (index,
   value) slots (padding slots carry ``val = 0``), so for the typical row the

@@ -46,6 +46,22 @@ def test_step_phased_matches_fused():
         assert "back_agg_all_to_all_v" in names
 
 
+def test_step_phased_banded():
+    n, width, q = 16 * 8, 16, 8
+    A = barabasi_albert(n, 3, seed=5)
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=False, seed=2
+    )
+    plan = compile_plan(decomp, width, q, block_diagonal=False)
+    runner = ArrowSpmm(plan, block_mesh(q))
+    X = random_dense(n, 4, seed=3)
+    x = runner.distribute(X)
+    fused = runner.collect(runner.step(x))
+    rec = _Recorder()
+    phased = runner.collect(runner.step_phased(x, record=rec))
+    np.testing.assert_allclose(phased, fused, rtol=1e-5, atol=1e-5)
+
+
 def test_bench_profile_emits_spans(tmp_path):
     from arrow_matrix_tpu.bench import bench_spmm
 
