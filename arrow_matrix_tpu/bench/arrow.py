@@ -51,10 +51,12 @@ def bench_spmm(
     :param n_devices: block-axis mesh size; defaults to all local devices,
         or 1 for the fused single-chip path.
     :param mode: single-chip executor — 'local' (all levels merged into one
-        matrix; fastest while the features fit the gather engine's fast
-        regime), 'blocked' (the distributed program's per-block structure;
-        width-bounded gather sources, wins on large matrices), or 'auto'
-        (blocked above ~500k padded rows — the measured crossover on v5e).
+        matrix) or 'blocked' (the distributed program's per-block stripe
+        structure with width-bounded gather windows). Measured on v5e the
+        merged plan stays ahead at every size that fits HBM (241 vs 148M
+        nnz/s at 200k vertices, 76 vs 67M at 1M), so 'auto' currently means
+        'local'; 'blocked' remains the hardware stand-in for the
+        distributed program and the basis for multi-chip projections.
         Ignored when n_devices > 1.
     """
     devices = jax.devices()
@@ -94,12 +96,10 @@ def bench_spmm(
         },
     )
 
-    from arrow_matrix_tpu.io.graphio import as_csr
     from arrow_matrix_tpu.parallel.blocked import blocked_step, compile_blocked_plan
 
-    n_rows = as_csr(decomposition[0][0]).shape[0]
     if mode == "auto":
-        mode = "blocked" if n_rows > 500_000 else "local"
+        mode = "local"
     with metrics.span("plan_compile_time"):
         if n_devices > 1:
             plan = compile_plan(

@@ -167,30 +167,69 @@ def _merge_window_blocks(
     return S, windows
 
 
-def _build_stripe(raw, j: int, width: int, q_i: int, k_hint: int):
-    """Stripe j of a level as (parts, window-id tuples): head row panel
-    split per column block for j = 0; column panel + diagonal (+ banded
-    neighbors) folded into one window-local matrix for j >= 1."""
+def _stripe_pairs(raw, j: int, q_i: int):
+    """(block, column-window-id) pairs making up stripe j."""
     if j == 0:
-        parts, wins = [], []
-        for c in range(q_i):
-            if raw.head[c].nnz == 0:
-                continue
-            parts.append(_build_block(raw.head[c], k_hint))
-            wins.append((c,))
-        if not parts:
-            return (None,), ((0,),)
-        return tuple(parts), tuple(wins)
+        return [(raw.head[c], c) for c in range(q_i)]
     pairs = [(raw.col[j], 0), (raw.diag[j], j)]
     if raw.band_lo is not None:
         if j >= 2:
             pairs.append((raw.band_lo[j], j - 1))
         if j < q_i - 1:
             pairs.append((raw.band_hi[j], j + 1))
+    return pairs
+
+
+def _build_stripe(raw, j: int, width: int, q_i: int, k_hint: int, windowed: bool):
+    """Stripe j of a level as (parts, window-id tuples).
+
+    ``windowed=True`` (large feature matrices, beyond the gather engine's
+    fast-source plateau): the head row panel splits into one part per
+    column block and stripe j >= 1 folds into one window-local matrix —
+    every gather reads a materialized width-sized buffer.
+
+    ``windowed=False`` (features fit the plateau): one part per stripe with
+    GLOBAL level-order columns (window marker None) — gathers read the full
+    level feature buffer directly, skipping the window copies."""
+    pairs = _stripe_pairs(raw, j, q_i)
+    if not windowed:
+        rows, cols, vals = [], [], []
+        for blk, c in pairs:
+            if blk.nnz == 0:
+                continue
+            coo = blk.tocoo()
+            rows.append(coo.row)
+            cols.append(coo.col + c * width)
+            vals.append(coo.data)
+        if not rows:
+            return (None,), ((None,),)
+        S = sparse.csr_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            shape=(width, q_i * width),
+        )
+        S.sum_duplicates()
+        S.sort_indices()
+        return (_build_block(S, k_hint),), ((None,),)
+    if j == 0:
+        parts, wins = [], []
+        for blk, c in pairs:
+            if blk.nnz == 0:
+                continue
+            parts.append(_build_block(blk, k_hint))
+            wins.append((c,))
+        if not parts:
+            return (None,), ((0,),)
+        return tuple(parts), tuple(wins)
     S, windows = _merge_window_blocks(pairs, width)
     if S.nnz == 0:
         return (None,), ((0,),)
     return (_build_block(S, k_hint),), (windows,)
+
+
+#: Feature-buffer size (bytes) beyond which gathers fall off the engine's
+#: fast-source plateau (measured 2-13MB fine, 64MB at ~0.2x) and the
+#: windowed layout pays for its copies.
+WINDOWED_THRESHOLD_BYTES = 14 << 20
 
 
 def compile_blocked_plan(
@@ -200,10 +239,15 @@ def compile_blocked_plan(
     block_diagonal: bool = True,
     k_hint: int = 16,
     routing_pad_multiple: int = 8,
+    windowed: bool | None = None,
 ) -> BlockedPlan:
     """Compile a decomposition for the blocked single-chip executor: the same
     block cut and routing maps as the distributed :func:`compile_plan`, with
-    per-block-row stripes in independently chosen formats."""
+    per-block-row stripes in independently chosen formats.
+
+    :param windowed: gather from materialized width-sized windows (True;
+        right beyond the fast-source plateau) vs the full level buffer
+        (False); default decides by feature-buffer size at ``k_hint``."""
     from arrow_matrix_tpu.io.graphio import as_csr
     from arrow_matrix_tpu.plan.compile import extract_levels
 
@@ -212,6 +256,8 @@ def compile_blocked_plan(
     raw_levels, padded_perms, n = extract_levels(
         decomposition, width, q, block_diagonal, routing_pad_multiple
     )
+    if windowed is None:
+        windowed = q * width * k_hint * 4 > WINDOWED_THRESHOLD_BYTES
 
     n_pad = q * width
     levels = []
@@ -219,7 +265,7 @@ def compile_blocked_plan(
         q_i = raw.n_active_blocks
         parts, windows = [], []
         for j in range(q_i):
-            p, w_ids = _build_stripe(raw, j, width, q_i, k_hint)
+            p, w_ids = _build_stripe(raw, j, width, q_i, k_hint, windowed)
             parts.append(p)
             windows.append(w_ids)
 
@@ -253,22 +299,26 @@ def compile_blocked_plan(
 
 
 def _level_spmm_blocked(
-    lvl: BlockedLevel, xin: list, width: int
+    lvl: BlockedLevel, xin, x_full, width: int
 ) -> jnp.ndarray:
     """Level SpMM over block-row stripes; ``xin`` is the list of q_i
-    MATERIALIZED (width, k) feature windows in the level's order; returns
-    (q_i*width, k). Stripe 0 computes the reduced head result
-    sum_j A_0j X_j; stripe j >= 1 computes C_j = A_j0 X_0 + A_jj X_j
+    MATERIALIZED (width, k) feature windows (windowed layout) and/or
+    ``x_full`` the materialized full (q_i*width, k) level features (global
+    layout); returns (q_i*width, k). Stripe 0 computes the reduced head
+    result sum_j A_0j X_j; stripe j >= 1 computes C_j = A_j0 X_0 + A_jj X_j
     (+ banded neighbor terms) (reference: arrow/arrow_slim_mpi.py:78-156)."""
-    k = xin[0].shape[1]
-    zero = jnp.zeros((width, k), xin[0].dtype)
+    probe = x_full if x_full is not None else xin[0]
+    k = probe.shape[1]
+    zero = jnp.zeros((width, k), probe.dtype)
     outs = []
     for parts, wins in zip(lvl.parts, lvl.windows):
         y = None
         for mat, ws in zip(parts, wins):
             if mat is None:
                 continue
-            if len(ws) == 1:
+            if ws == (None,) or ws is None:
+                xw = x_full
+            elif len(ws) == 1:
                 xw = xin[ws[0]]
             else:
                 xw = jnp.concatenate([xin[c] for c in ws], axis=0)
@@ -277,6 +327,13 @@ def _level_spmm_blocked(
             y = contrib if y is None else y + contrib
         outs.append(y if y is not None else zero)
     return jnp.concatenate(outs, axis=0)
+
+
+def _level_is_windowed(lvl: BlockedLevel) -> bool:
+    for wins in lvl.windows:
+        for ws in wins:
+            return ws != (None,) and ws is not None
+    return False
 
 
 def blocked_step(plan: BlockedPlan, x: jnp.ndarray) -> jnp.ndarray:
@@ -294,33 +351,39 @@ def blocked_step(plan: BlockedPlan, x: jnp.ndarray) -> jnp.ndarray:
     q, width = plan.n_blocks, plan.width
     k = x.shape[1]
 
-    def level_windows(lvl):
-        """Materialize the level's (width, k) feature windows — explicit
-        barriered copies so every stripe gather reads a SMALL buffer (lazy
-        slices would fuse back into the slow big-source gather)."""
+    def level_features(lvl):
+        """Materialize the level's features — per-window barriered copies
+        (windowed layout; lazy slices would fuse back into the slow
+        big-source gather) or the full level buffer (global layout). The
+        forward routing composes into the builds: the level's rows gather
+        straight from level-0 order (reference:
+        _propagate_features_forwards, arrow_dec_mpi.py:507-610)."""
         q_i = lvl.n_active_blocks
+        if not _level_is_windowed(lvl):
+            if lvl.dst_to_src is None:
+                x_full = x[: q_i * width]
+            else:
+                x_full = jnp.take(x, lvl.dst_to_src, axis=0)
+            (x_full,) = jax.lax.optimization_barrier((x_full,))
+            return None, x_full
         if lvl.dst_to_src is None:
             xin = [x[c * width : (c + 1) * width] for c in range(q_i)]
         else:
-            # Forward routing composed into the window builds: window c of
-            # the level gathers its rows straight from level-0 order
-            # (reference: _propagate_features_forwards,
-            # arrow_dec_mpi.py:507-610).
             xin = [
                 jnp.take(x, lvl.dst_to_src[c * width : (c + 1) * width], axis=0)
                 for c in range(q_i)
             ]
-        return list(jax.lax.optimization_barrier(tuple(xin)))
+        return list(jax.lax.optimization_barrier(tuple(xin))), None
 
     lvl0 = plan.levels[0]
     q0 = lvl0.n_active_blocks
-    c = _level_spmm_blocked(lvl0, level_windows(lvl0), width)
+    c = _level_spmm_blocked(lvl0, *level_features(lvl0), width)
     if q0 < q:
         c = jnp.concatenate(
             [c, jnp.zeros(((q - q0) * width, k), x.dtype)], axis=0
         )
     for lvl in plan.levels[1:]:
-        c_i = _level_spmm_blocked(lvl, level_windows(lvl), width)
+        c_i = _level_spmm_blocked(lvl, *level_features(lvl), width)
         # Backward: add each level row's result onto its level-0 source row
         # (reference: _aggregate_features_backwards, arrow_dec_mpi.py:404-505).
         c_pad = jnp.concatenate([c_i, jnp.zeros((1, k), x.dtype)], axis=0)

@@ -110,3 +110,30 @@ def test_blocked_fewer_active_blocks():
     assert any(lvl.n_active_blocks < q for lvl in plan.levels[1:]) or len(
         plan.levels
     ) == 1
+
+
+@pytest.mark.parametrize("windowed", [True, False])
+def test_blocked_window_layouts_agree(windowed):
+    # Both stripe layouts (materialized width-windows vs global level
+    # buffer) must produce identical results; the default picks by
+    # feature-buffer size.
+    n, width, q = 16 * 8 - 3, 16, 8
+    A = barabasi_albert(n, 4, seed=0)
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=True, seed=1
+    )
+    _blocked_run_with(A, decomp, width, q, windowed)
+
+
+def _blocked_run_with(A, decomp, width, q, windowed, k=8):
+    plan = compile_blocked_plan(decomp, width, n_blocks=q, windowed=windowed)
+    n = A.shape[0]
+    X = random_dense(n, k, seed=7)
+    perm0 = np.asarray(plan.permutations[0])
+    Xp = np.zeros((plan.n_blocks * plan.width, k), dtype=np.float32)
+    Xp[:n] = X
+    x = jax.jit(blocked_step)(plan, jnp.asarray(Xp[perm0]))
+    got = np.asarray(x)[np.argsort(perm0)][:n]
+    np.testing.assert_allclose(
+        got, compute_spmm(decomp, X.astype(np.float32)), rtol=2e-4, atol=2e-4
+    )
