@@ -28,6 +28,39 @@ def _zero_row(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
 
 
+#: Slot count above which the gather+FMA pass runs in virtual-row chunks:
+#: the (V*R, k) gather intermediate is lane-padded to 128 in its T(8,128)
+#: layout (512B per slot at k <= 128), so a 128M-nonzero matrix would
+#: otherwise allocate ~70GB and OOM 16GB HBM at compile.
+MAX_GATHER_SLOTS = 16_000_000
+
+
+def _chunked_partial(A: EllMat, x: jnp.ndarray, precision) -> jnp.ndarray:
+    """Gather + FMA-reduce over virtual-row chunks (sequential ``lax.map``),
+    bounding the materialized intermediate to one chunk."""
+    V, R = A.idx.shape
+    k = x.shape[-1]
+    vc = max(8, (MAX_GATHER_SLOTS // R) // 8 * 8)
+    n_chunks = -(-V // vc)
+    pad = n_chunks * vc - V
+    idxp = jnp.pad(A.idx, ((0, pad), (0, 0)))  # pad slots: col 0, val 0
+    valp = jnp.pad(A.val, ((0, pad), (0, 0)))
+
+    def one(i):
+        idc = jax.lax.dynamic_slice_in_dim(idxp, i * vc, vc)
+        vlc = jax.lax.dynamic_slice_in_dim(valp, i * vc, vc)
+        g = jnp.take(x, idc.reshape(-1), axis=0).reshape(vc, R, k)
+        return jnp.einsum(
+            "vr,vrk->vk",
+            vlc.astype(jnp.float32),
+            g.astype(jnp.float32),
+            precision=precision,
+        )
+
+    parts = jax.lax.map(one, jnp.arange(n_chunks))
+    return parts.reshape(n_chunks * vc, k)[:V]
+
+
 def ell_spmm(A: EllMat, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Multiply a (single, unstacked) EllMat by a dense (n_cols, k) matrix.
 
@@ -35,14 +68,17 @@ def ell_spmm(A: EllMat, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """
     assert A.idx.ndim == 2, "use vmap/shard_map for stacked EllMats"
     k = x.shape[-1]
-    gathered = jnp.take(x, A.idx.reshape(-1), axis=0)  # (V*R, k)
-    gathered = gathered.reshape(A.idx.shape + (k,))  # (V, R, k)
-    partial = jnp.einsum(
-        "vr,vrk->vk",
-        A.val.astype(jnp.float32),
-        gathered.astype(jnp.float32),
-        precision=precision,
-    )
+    if A.idx.size > MAX_GATHER_SLOTS:
+        partial = _chunked_partial(A, x, precision)
+    else:
+        gathered = jnp.take(x, A.idx.reshape(-1), axis=0)  # (V*R, k)
+        gathered = gathered.reshape(A.idx.shape + (k,))  # (V, R, k)
+        partial = jnp.einsum(
+            "vr,vrk->vk",
+            A.val.astype(jnp.float32),
+            gathered.astype(jnp.float32),
+            precision=precision,
+        )
     # First-chunk-identity layout: virtual row r < n_rows IS row r, so the
     # light-row result is `base` with no indirection. The extras of heavy
     # rows are reduced by the arity-8 chain (tiny arrays, cache-resident) and

@@ -245,11 +245,20 @@ def split_by_row_weight(
     return light, heavy
 
 
-def choose_slot_count(nnz_per_row: np.ndarray, max_r: int = 512) -> int:
+def choose_slot_count(
+    nnz_per_row: np.ndarray,
+    max_r: int = 512,
+    max_virtual_factor: float | None = None,
+) -> int:
     """Pick the per-virtual-row slot count R minimizing total slots in the
     first-chunk-identity layout: every row pays R identity slots; rows with
     more than R nonzeros add ``ceil((nnz - R)/R) * R`` extra slots (gathered
-    rows == slots, and the gather engine is the bottleneck)."""
+    rows == slots, and the gather engine is the bottleneck).
+
+    :param max_virtual_factor: if set, only consider R whose virtual-row
+        count (rows + extra chunks) stays below ``factor * rows`` — the
+        (V, k) partial array is lane-padded in HBM, so huge matrices must
+        bound V, trading a few extra identity slots."""
     nnz_per_row = np.asarray(nnz_per_row, dtype=np.int64)
     n_rows = max(1, nnz_per_row.size)
     mx = int(nnz_per_row.max(initial=0))
@@ -259,12 +268,21 @@ def choose_slot_count(nnz_per_row: np.ndarray, max_r: int = 512) -> int:
     # FMA-reduce vectorization and blow up the extras chain (profiled).
     cap = min(max_r, _round_up(mx, 8))
     best_r, best_cost = None, None
+    fallback_r, fallback_v = None, None
     for r in range(8, cap + 8, 8):
         extra = np.maximum(nnz_per_row - r, 0)
-        cost = n_rows * r + int((-(-extra // r) * r).sum())
+        e_rows = int((-(-extra // r)).sum())
+        if fallback_v is None or e_rows < fallback_v:
+            fallback_r, fallback_v = r, e_rows
+        if (
+            max_virtual_factor is not None
+            and n_rows + e_rows > max_virtual_factor * n_rows
+        ):
+            continue
+        cost = n_rows * r + e_rows * r
         if best_cost is None or cost < best_cost:
             best_r, best_cost = r, cost
-    return best_r
+    return best_r if best_r is not None else fallback_r
 
 
 def _combine_chain(
@@ -368,7 +386,12 @@ def ell_from_csr(
     n_rows, n_cols = A.shape
     nnz_per_row = np.diff(A.indptr).astype(np.int64)
 
-    R = slots_per_row or choose_slot_count(nnz_per_row)
+    # Huge matrices bound the virtual-row count: the (V, k) partial is
+    # lane-padded in HBM (512B/row at k <= 128), so V must stay ~rows.
+    R = slots_per_row or choose_slot_count(
+        nnz_per_row,
+        max_virtual_factor=1.25 if n_rows > 2_000_000 else None,
+    )
     n_extras = np.maximum(-(-nnz_per_row // R) - 1, 0)  # extra chunks per row
     ebase = np.concatenate(([0], np.cumsum(n_extras)))[:-1]
     E = int(n_extras.sum())

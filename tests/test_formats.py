@@ -230,3 +230,31 @@ def test_split_by_row_weight_and_summat():
     X = np.random.default_rng(1).random((300, 8), dtype=np.float32)
     got = np.asarray(apply_mat(m, jnp.asarray(X), 300))
     np.testing.assert_allclose(got, A @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_gather_matches_unchunked(monkeypatch):
+    # Slot-chunked gather+FMA path (engages above MAX_GATHER_SLOTS) must be
+    # numerically identical to the one-shot path.
+    from arrow_matrix_tpu.ops import ell as ell_mod
+
+    A = barabasi_albert(600, 6, seed=21)
+    X = np.random.default_rng(2).random((600, 8), dtype=np.float32)
+    m = ell_from_csr(A)
+    ref = np.asarray(ell_spmm(m, jnp.asarray(X)))
+    monkeypatch.setattr(ell_mod, "MAX_GATHER_SLOTS", 256)
+    got = np.asarray(jax.jit(ell_mod.ell_spmm)(m, jnp.asarray(X)))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_choose_slot_count_virtual_bound():
+    from arrow_matrix_tpu.ops.formats import choose_slot_count
+
+    # One mega-hub row among light rows: unbounded choice picks small R
+    # (many extra chunks); the bounded choice must keep V near rows.
+    nnz = np.full(1000, 2, dtype=np.int64)
+    nnz[0] = 5000
+    r_free = choose_slot_count(nnz)
+    r_bound = choose_slot_count(nnz, max_virtual_factor=1.25)
+    extra_rows = lambda r: int((-(-np.maximum(nnz - r, 0) // r)).sum())
+    assert 1000 + extra_rows(r_bound) <= 1.25 * 1000
+    assert r_bound >= r_free
