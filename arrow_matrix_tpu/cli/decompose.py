@@ -122,6 +122,9 @@ def main(argv=None):
         block_diagonal=args.block_diagonal,
         seed=args.seed,
         native=args.native,
+        # Undirected inputs were symmetrized on load; the degree pipeline
+        # can then skip its column histograms.
+        symmetric=not args.directed,
     )
     print(f"levels: {len(decomposition)}; widths: {[d.arrow_width for d in decomposition]}")
     graphio.save_decomposition_new(

@@ -345,3 +345,60 @@ int arrow_partition_edges_i32(int64_t n, const int64_t* indptr,
 }
 
 }  // extern "C"
+
+namespace {
+
+// Parallel histogram of column indices (np.bincount replacement for the
+// in-degree half of total_degrees, the hottest remaining numpy phase of the
+// directed decomposition pipeline at 100M+-edge scale). Per-thread local
+// histograms, then a parallel reduction over bins.
+template <typename I>
+void bincount_impl(int64_t nnz, const I* indices, int64_t n_bins,
+                   int64_t* out) {
+#ifdef _OPENMP
+  const int max_t = omp_get_max_threads();
+#else
+  const int max_t = 1;
+#endif
+  if (max_t <= 1 || nnz < (int64_t{1} << 20)) {
+    std::memset(out, 0, sizeof(int64_t) * n_bins);
+    for (int64_t i = 0; i < nnz; ++i) ++out[indices[i]];
+    return;
+  }
+  std::vector<int64_t> local(static_cast<size_t>(max_t) * n_bins, 0);
+#pragma omp parallel
+  {
+#ifdef _OPENMP
+    int64_t* mine = local.data() + int64_t{omp_get_thread_num()} * n_bins;
+#else
+    int64_t* mine = local.data();
+#endif
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < nnz; ++i) ++mine[indices[i]];
+#pragma omp barrier
+#pragma omp for schedule(static)
+    for (int64_t b = 0; b < n_bins; ++b) {
+      int64_t s = 0;
+      for (int t = 0; t < max_t; ++t) s += local[int64_t{t} * n_bins + b];
+      out[b] = s;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int arrow_bincount(int64_t nnz, const int64_t* indices, int64_t n_bins,
+                   int64_t* out) {
+  bincount_impl<int64_t>(nnz, indices, n_bins, out);
+  return 0;
+}
+
+int arrow_bincount_i32(int64_t nnz, const int32_t* indices, int64_t n_bins,
+                       int64_t* out) {
+  bincount_impl<int32_t>(nnz, indices, n_bins, out);
+  return 0;
+}
+
+}  // extern "C"

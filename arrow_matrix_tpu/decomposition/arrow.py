@@ -66,11 +66,11 @@ def get_arrow_width(B: sparse.csr_matrix, initial_width: int) -> int:
     return max(initial_width, int(np.abs(coo.row[mask] - coo.col[mask]).max()))
 
 
-def _count_nonzero_rows(B: sparse.csr_matrix) -> int:
+def _count_nonzero_rows(B: sparse.csr_matrix, symmetric: bool = False) -> int:
     """Leading count of rows that are nonzero in row or column direction.
     Trailing all-zero rows/columns can be cut into fewer blocks (reference:
     arrow/arrow_dec_mpi.py:612-627 counts trailing zero rows)."""
-    deg = graphalgs.total_degrees(B)
+    deg = graphalgs.total_degrees(B, symmetric=symmetric)
     nz = np.nonzero(deg)[0]
     if nz.size == 0:
         return 0
@@ -83,13 +83,14 @@ def _arrow_linear_order(
     deterministic: bool,
     rng: np.random.Generator,
     native: bool = True,
+    symmetric: bool = False,
 ) -> np.ndarray:
     """Linear order for one level: prune the ``arrow_width`` highest-degree
     vertices to the front, linearize the positive-degree remainder with the
     spanning-forest heuristic (or BFS when deterministic), singletons last
     (reference: arrow/decomposition.py:253-281)."""
     n = A.shape[0]
-    deg = graphalgs.total_degrees(A)
+    deg = graphalgs.total_degrees(A, symmetric=symmetric)
     by_cost = np.argsort(-deg, kind="stable")
 
     head = by_cost[:arrow_width]
@@ -134,6 +135,7 @@ def arrow_decomposition(
     prune: bool = True,
     seed: int | None = None,
     native: bool = True,
+    symmetric: bool = False,
 ) -> list[ArrowGraph]:
     """Decompose a square sparse matrix into a chain of arrow matrices.
 
@@ -155,6 +157,13 @@ def arrow_decomposition(
     :param seed: RNG seed for the random spanning forests.
     :param native: use the C++ decomposition core when built (no-op
         otherwise); the numpy pipeline is always used for the BFS level.
+    :param symmetric: the caller asserts ``A`` has a symmetric pattern (the
+        reference Julia pipeline's ``symmetric::Bool``,
+        julia/arrow/ArrowDecomposition.jl:119-124). Skips the column
+        histogram in every degree computation — the arrow criterion and the
+        prune rule are both symmetric, so every level and leftover of a
+        symmetric matrix stays symmetric and the flag propagates through
+        the recursion.
     """
     A = sparse.csr_matrix(A)
     A.sum_duplicates()
@@ -171,7 +180,9 @@ def arrow_decomposition(
     level = A
     while True:
         is_last = len(decomposition) + 1 >= max_number_of_levels
-        order = _arrow_linear_order(level, arrow_width, is_last, rng, native)
+        order = _arrow_linear_order(
+            level, arrow_width, is_last, rng, native, symmetric=symmetric
+        )
         inv = np.argsort(order)
 
         leftover = None
@@ -235,7 +246,7 @@ def arrow_decomposition(
                 matrix=B,
                 permutation=original_ids[order],
                 arrow_width=actual_width,
-                nonzero_rows=_count_nonzero_rows(B),
+                nonzero_rows=_count_nonzero_rows(B, symmetric=symmetric),
             )
         )
 

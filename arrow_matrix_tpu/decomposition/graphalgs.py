@@ -30,13 +30,29 @@ def symmetrize_pattern(A: sparse.csr_matrix) -> sparse.csr_matrix:
     return S
 
 
-def total_degrees(A: sparse.csr_matrix) -> np.ndarray:
+def total_degrees(
+    A: sparse.csr_matrix, symmetric: bool = False
+) -> np.ndarray:
     """Degree of each vertex counting both in- and out-edges (igraph's
     ``degree(mode='all')`` semantics used by the reference's pruning step,
-    reference: arrow/decomposition.py:253-256)."""
+    reference: arrow/decomposition.py:253-256).
+
+    :param symmetric: the caller asserts the PATTERN of ``A`` is symmetric
+        (the reference Julia pipeline's ``symmetric::Bool``,
+        julia/arrow/ArrowDecomposition.jl:119-124); then in-degree equals
+        out-degree and the column histogram — the hottest host phase at
+        100M+-edge scale — is skipped entirely.
+    """
     A = A.tocsr()
     out_deg = np.diff(A.indptr)
-    in_deg = np.bincount(A.indices, minlength=A.shape[0])
+    if symmetric:
+        return 2 * out_deg
+    from arrow_matrix_tpu.decomposition import native
+
+    if native.AVAILABLE and A.nnz >= (1 << 20):
+        in_deg = native.bincount_indices(A.indices, A.shape[0])
+    else:
+        in_deg = np.bincount(A.indices, minlength=A.shape[0])
     return out_deg + in_deg
 
 

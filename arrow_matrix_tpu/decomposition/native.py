@@ -107,9 +107,44 @@ def _setup_signatures(lib):
         i64p, i32p, f32p,
         i64p,
     ]
+    lib.arrow_bincount.restype = ctypes.c_int
+    lib.arrow_bincount.argtypes = [ctypes.c_int64, i64p, ctypes.c_int64, i64p]
+    lib.arrow_bincount_i32.restype = ctypes.c_int
+    lib.arrow_bincount_i32.argtypes = [
+        ctypes.c_int64, i32p, ctypes.c_int64, i64p,
+    ]
 
 
 _load()
+
+
+def bincount_indices(indices: np.ndarray, n_bins: int) -> np.ndarray:
+    """Parallel ``np.bincount(indices, minlength=n_bins)`` (C++/OpenMP).
+
+    The in-degree histogram is the hottest remaining numpy phase of the
+    directed decomposition pipeline (reference analogue: the Julia rewrite's
+    degree computation, julia/arrow/ArrowDecomposition.jl:102-135)."""
+    assert AVAILABLE
+    out = np.empty(n_bins, dtype=np.int64)
+    if np.issubdtype(indices.dtype, np.int32):
+        idx = np.ascontiguousarray(indices, dtype=np.int32)
+        rc = _lib.arrow_bincount_i32(
+            idx.size,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_bins,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    else:
+        idx = np.ascontiguousarray(indices, dtype=np.int64)
+        rc = _lib.arrow_bincount(
+            idx.size,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_bins,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    if rc != 0:
+        raise RuntimeError(f"arrow_bincount failed: {rc}")
+    return out
 
 
 def linearize_forest(pred: np.ndarray, roots: np.ndarray) -> np.ndarray:

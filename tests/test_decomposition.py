@@ -252,3 +252,47 @@ def test_native_partition_edges_exact():
     coo = A.tocoo()
     B_ref = sp.csr_matrix((coo.data, (inv[coo.row], inv[coo.col])), shape=A.shape)
     assert (B_all != B_ref).nnz == 0 and L_none is None
+
+
+def test_native_bincount_matches_numpy():
+    from arrow_matrix_tpu.decomposition import native
+
+    if not native.AVAILABLE:
+        import pytest
+
+        pytest.skip("native core not built")
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for dt in (np.int32, np.int64):
+        idx = rng.integers(0, 500, size=4000).astype(dt)
+        np.testing.assert_array_equal(
+            native.bincount_indices(idx, 500),
+            np.bincount(idx, minlength=500),
+        )
+
+
+def test_symmetric_flag_identical_decomposition():
+    # symmetric=True only swaps the degree computation (2*out vs out+in);
+    # on a symmetric pattern the decomposition must be byte-identical.
+    import numpy as np
+    from scipy import sparse as sp
+
+    from arrow_matrix_tpu.io.generate import barabasi_albert
+
+    A = barabasi_albert(800, 4, seed=11)  # symmetrized by construction
+    assert (A != A.T).nnz == 0
+    for block_diagonal in (True, False):
+        d_sym = arrow_decomposition(
+            A, 120, max_number_of_levels=100,
+            block_diagonal=block_diagonal, seed=3, symmetric=True,
+        )
+        d_gen = arrow_decomposition(
+            A, 120, max_number_of_levels=100,
+            block_diagonal=block_diagonal, seed=3, symmetric=False,
+        )
+        assert len(d_sym) == len(d_gen)
+        for a, b in zip(d_sym, d_gen):
+            np.testing.assert_array_equal(a.permutation, b.permutation)
+            assert (a.matrix != b.matrix).nnz == 0
+            assert a.arrow_width == b.arrow_width
