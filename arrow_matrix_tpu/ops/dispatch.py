@@ -12,15 +12,75 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
+from scipy import sparse
 
-from arrow_matrix_tpu.ops.bsr_pallas import BsrMat, bsr_spmm
+from arrow_matrix_tpu.ops.bsr_pallas import BsrMat, bsr_from_csr, bsr_spmm, preferred_format
 from arrow_matrix_tpu.ops.ell import compact_ell_spmm, ell_spmm, packed_ell_spmm
-from arrow_matrix_tpu.ops.formats import CompactEll, EllMat, PackedEll, SumMat
+from arrow_matrix_tpu.ops.formats import (
+    CompactEll,
+    EllMat,
+    PackedEll,
+    SumMat,
+    compact_ell_from_csr,
+    ell_cost_rows,
+    ell_from_csr,
+    packed_cost_rows,
+    packed_ell_from_csr,
+    split_by_row_weight,
+)
 from arrow_matrix_tpu.ops.tiling import (
     DEFAULT_VMEM_BUDGET,
     plan_feature_tiles,
     tiled_apply,
 )
+
+
+def _ell_or_compact(b: sparse.csr_matrix):
+    full, compact = ell_cost_rows(b)
+    if compact < full:
+        return compact_ell_from_csr(b)
+    return ell_from_csr(b)
+
+
+def build_block_format(
+    b: sparse.csr_matrix, k_hint: int, packed_slots_cap: int | None = None
+):
+    """Per-block format choice: None (empty), BSR (dense-ish tiles), or the
+    cheapest gather layout by estimated gathered rows — full-identity ELL,
+    row-compressed :class:`CompactEll`, or chunk-packed :class:`PackedEll`
+    for the light rows (optionally summed with a compact part for the heavy
+    rows).
+
+    :param packed_slots_cap: skip the chunk-packed layout when its prefix-sum
+        buffer would exceed this many rows — the PackedEll boundary gathers
+        read that buffer, and sources beyond the gather-engine cliff
+        (~256k rows lane-padded) drop to ~0.4x the plateau rate.
+    """
+    if b.nnz == 0:
+        return None
+    if preferred_format(b, k_hint) == "bsr":
+        return bsr_from_csr(b)
+    full, compact = ell_cost_rows(b)
+    best = min(full, compact)
+    light, heavy = split_by_row_weight(b, 8)
+    if light.nnz:
+        hybrid = packed_cost_rows(light)
+        packed_slots = hybrid - 2 * light.shape[0]
+        if packed_slots_cap is not None and packed_slots > packed_slots_cap:
+            hybrid = None
+        if heavy.nnz and hybrid is not None:
+            hf, hc = ell_cost_rows(heavy)
+            hybrid += min(hf, hc)
+        if hybrid is not None and hybrid < best:
+            parts = [packed_ell_from_csr(light)]
+            if heavy.nnz:
+                parts.append(_ell_or_compact(heavy))
+            if len(parts) == 1:
+                return parts[0]
+            return SumMat(
+                parts=tuple(parts), n_rows=b.shape[0], n_cols=b.shape[1]
+            )
+    return _ell_or_compact(b)
 
 
 def local_slice(m):

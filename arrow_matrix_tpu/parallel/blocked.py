@@ -42,17 +42,7 @@ import numpy as np
 from flax import struct
 from scipy import sparse
 
-from arrow_matrix_tpu.ops.bsr_pallas import bsr_from_csr, preferred_format
-from arrow_matrix_tpu.ops.dispatch import apply_mat
-from arrow_matrix_tpu.ops.formats import (
-    SumMat,
-    compact_ell_from_csr,
-    ell_cost_rows,
-    ell_from_csr,
-    packed_cost_rows,
-    packed_ell_from_csr,
-    split_by_row_weight,
-)
+from arrow_matrix_tpu.ops.dispatch import apply_mat, build_block_format
 
 
 @struct.dataclass
@@ -105,40 +95,7 @@ class BlockedPlan:
         return self.width * self.n_blocks
 
 
-def _build_ell_or_compact(b: sparse.csr_matrix):
-    full, compact = ell_cost_rows(b)
-    if compact < full:
-        return compact_ell_from_csr(b)
-    return ell_from_csr(b)
-
-
-def _build_block(b: sparse.csr_matrix, k_hint: int):
-    """Per-block format choice: None (empty), BSR (dense-ish tiles), or the
-    cheapest gather layout by estimated gathered rows — full-identity ELL,
-    row-compressed CompactEll, or chunk-packed PackedEll for the light rows
-    (optionally summed with a compact part for the heavy rows)."""
-    if b.nnz == 0:
-        return None
-    if preferred_format(b, k_hint) == "bsr":
-        return bsr_from_csr(b)
-    full, compact = ell_cost_rows(b)
-    best = min(full, compact)
-    light, heavy = split_by_row_weight(b, 8)
-    if light.nnz:
-        hybrid = packed_cost_rows(light)
-        if heavy.nnz:
-            hf, hc = ell_cost_rows(heavy)
-            hybrid += min(hf, hc)
-        if hybrid < best:
-            parts = [packed_ell_from_csr(light)]
-            if heavy.nnz:
-                parts.append(_build_ell_or_compact(heavy))
-            if len(parts) == 1:
-                return parts[0]
-            return SumMat(
-                parts=tuple(parts), n_rows=b.shape[0], n_cols=b.shape[1]
-            )
-    return _build_ell_or_compact(b)
+_build_block = build_block_format
 
 
 def _merge_window_blocks(

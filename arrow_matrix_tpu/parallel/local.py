@@ -58,6 +58,32 @@ class LocalArrowPlan:
     permutations: tuple = ()
 
 
+def merge_levels_to_matrix(mats, padded_perms, inv_perm0, width, q):
+    """Sum all levels into ONE matrix in level-0 order
+    (``sum_i P_rel_i^T B_i P_rel_i = P_0 A P_0^T``), truncated to the
+    occupied block square. Returns ``(csr (cut, cut), cut)``."""
+    from arrow_matrix_tpu.plan.compile import number_of_blocks
+
+    n_pad = q * width
+    rows, cols, vals = [], [], []
+    for i, B in enumerate(mats):
+        coo = B.tocoo()
+        g = inv_perm0[padded_perms[i][: B.shape[0]]]
+        rows.append(g[coo.row])
+        cols.append(g[coo.col])
+        vals.append(coo.data)
+    Btot = sparse.csr_matrix(
+        (
+            np.concatenate(vals),
+            (np.concatenate(rows), np.concatenate(cols)),
+        ),
+        shape=(n_pad, n_pad),
+    )
+    Btot.sum_duplicates()
+    cut = min(number_of_blocks(Btot, width), q) * width
+    return Btot[:cut, :cut].tocsr(), cut
+
+
 def compile_local_plan(
     decomposition,
     width: int,
@@ -101,23 +127,9 @@ def compile_local_plan(
     inv_perm0 = np.argsort(padded_perms[0])
 
     if merge_levels:
-        rows, cols, vals = [], [], []
-        for i, B in enumerate(mats):
-            coo = B.tocoo()
-            g = inv_perm0[padded_perms[i][: B.shape[0]]]
-            rows.append(g[coo.row])
-            cols.append(g[coo.col])
-            vals.append(coo.data)
-        Btot = sparse.csr_matrix(
-            (
-                np.concatenate(vals),
-                (np.concatenate(rows), np.concatenate(cols)),
-            ),
-            shape=(n_pad, n_pad),
+        Bt, cut = merge_levels_to_matrix(
+            mats, padded_perms, inv_perm0, width, q
         )
-        Btot.sum_duplicates()
-        cut = min(number_of_blocks(Btot, width), q) * width
-        Bt = Btot[:cut, :cut].tocsr()
         fmt, mat, mat_sparse = _choose_format(
             Bt, k_hint, slots_per_row, force_format, matrix_dtype
         )
