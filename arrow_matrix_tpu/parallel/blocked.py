@@ -43,6 +43,7 @@ from flax import struct
 from scipy import sparse
 
 from arrow_matrix_tpu.ops.dispatch import apply_mat, build_block_format
+from arrow_matrix_tpu.ops.ell import big_take
 
 
 @struct.dataclass
@@ -320,14 +321,14 @@ def blocked_step(plan: BlockedPlan, x: jnp.ndarray) -> jnp.ndarray:
             if lvl.dst_to_src is None:
                 x_full = x[: q_i * width]
             else:
-                x_full = jnp.take(x, lvl.dst_to_src, axis=0)
+                x_full = big_take(x, lvl.dst_to_src)
             (x_full,) = jax.lax.optimization_barrier((x_full,))
             return None, x_full
         if lvl.dst_to_src is None:
             xin = [x[c * width : (c + 1) * width] for c in range(q_i)]
         else:
             xin = [
-                jnp.take(x, lvl.dst_to_src[c * width : (c + 1) * width], axis=0)
+                big_take(x, lvl.dst_to_src[c * width : (c + 1) * width])
                 for c in range(q_i)
             ]
         return list(jax.lax.optimization_barrier(tuple(xin))), None
@@ -345,5 +346,5 @@ def blocked_step(plan: BlockedPlan, x: jnp.ndarray) -> jnp.ndarray:
         # (reference: _aggregate_features_backwards, arrow_dec_mpi.py:404-505).
         c_pad = jnp.concatenate([c_i, jnp.zeros((1, k), x.dtype)], axis=0)
         (c_pad,) = jax.lax.optimization_barrier((c_pad,))
-        c = c + jnp.take(c_pad, lvl.src_to_dst, axis=0)
+        c = c + big_take(c_pad, lvl.src_to_dst)
     return c

@@ -29,7 +29,7 @@ from arrow_matrix_tpu.ops.bsr_pallas import (
     tile_density_stats,
 )
 from arrow_matrix_tpu.ops.dispatch import bsr_apply
-from arrow_matrix_tpu.ops.ell import ell_spmm
+from arrow_matrix_tpu.ops.ell import big_take, ell_spmm
 from arrow_matrix_tpu.ops.formats import EllMat, ell_from_csr
 
 
@@ -248,12 +248,12 @@ def local_step(plan: LocalArrowPlan, x: jnp.ndarray) -> jnp.ndarray:
         else c0
     )
     for lvl in plan.levels[1:]:
-        x_lvl = jnp.take(x, lvl.dst_to_src, axis=0)
+        x_lvl = big_take(x, lvl.dst_to_src)
         c_lvl = _apply(lvl, x_lvl)
         # Gather-based merge: level position of each level-0 row (or the
         # appended zero row for unrouted rows). The barrier materializes the
         # concat so the gather reads a plain contiguous source (profiled).
         c_pad = jnp.concatenate([c_lvl, jnp.zeros((1, k), x.dtype)], axis=0)
         (c_pad,) = jax.lax.optimization_barrier((c_pad,))
-        c = c + jnp.take(c_pad, lvl.src_to_dst, axis=0)
+        c = c + big_take(c_pad, lvl.src_to_dst)
     return c

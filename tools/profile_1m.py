@@ -42,8 +42,9 @@ def run(plan, x, iters):
 
 
 run = jax.jit(run, static_argnums=2)
+n_rows = getattr(plan, "padded_rows", None) or plan.n_blocks * plan.width
 x = jnp.asarray(np.random.default_rng(0).standard_normal(
-    (plan.n_blocks * plan.width, K), dtype=np.float32))
+    (n_rows, K), dtype=np.float32))
 
 sync(run(plan, x, 1))
 sync(run(plan, x, 11))
@@ -59,6 +60,12 @@ dt = (t11 - t1) / 10
 print(f"step={dt*1e3:.2f} ms  nnz/s={nnz/dt/1e6:.1f} M", flush=True)
 
 step1 = jax.jit(lambda p, x: step_fn(p, x))
+try:
+    txt = step1.lower(plan, x).compile().as_text()
+    open("/tmp/hlo_step.txt", "w").write(txt)
+    print(f"wrote /tmp/hlo_step.txt ({len(txt)} bytes)", flush=True)
+except Exception as e:  # optimized-HLO retrieval is best-effort via relay
+    print(f"no HLO text: {e}", flush=True)
 y = step1(plan, x); sync(y)
 with jax.profiler.trace("/tmp/trace_1m"):
     y = step1(plan, x)
@@ -71,6 +78,7 @@ for name, ms, cnt in summarize_trace("/tmp/trace_1m", top=35, iters=2):
 import glob, os, re
 cands = sorted(glob.glob("/tmp/hlo_1m/*jit__lambda*after_optimizations.txt"),
                key=os.path.getmtime)
+cands += ["/tmp/hlo_step.txt"] if os.path.exists("/tmp/hlo_step.txt") else []
 if cands:
     txt = open(cands[-1]).read()
     defs = {}
