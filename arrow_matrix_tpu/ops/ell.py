@@ -236,7 +236,7 @@ def packed_ell_spmm(A: PackedEll, x: jnp.ndarray) -> jnp.ndarray:
     p = jnp.cumsum(c, axis=1).reshape(-1, k)  # (V*chunk, k)
     pz = _zero_row(p)
     (pz,) = jax.lax.optimization_barrier((pz,))
-    y = jnp.take(pz, A.end_idx, axis=0) - jnp.take(pz, A.beg_idx, axis=0)
+    y = big_take(pz, A.end_idx) - big_take(pz, A.beg_idx)
     return y.astype(x.dtype)
 
 

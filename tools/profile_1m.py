@@ -28,7 +28,11 @@ if MODE == "blocked":
     step_fn = blocked_step
 elif MODE == "region":
     from arrow_matrix_tpu.parallel.region import compile_region_plan, region_step
-    plan = compile_region_plan(decomp, WIDTH, k_hint=K)
+    region_rows = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    plan = compile_region_plan(decomp, WIDTH, k_hint=K, region_rows=region_rows)
+    n_parts = sum(len(p) for p in plan.stripes)
+    print(f"region plan: {len(plan.stripes)} stripes, {n_parts} parts",
+          flush=True)
     step_fn = region_step
 else:
     plan = compile_local_plan(decomp, WIDTH, k_hint=K)
