@@ -94,6 +94,7 @@ def compile_local_plan(
     block_diagonal: bool = True,
     merge_levels: bool = True,
     matrix_dtype=np.float32,
+    refine: str = "auto",
 ) -> LocalArrowPlan:
     """Compile a decomposition for single-chip execution.
 
@@ -108,6 +109,10 @@ def compile_local_plan(
     mirror of the distributed execution, useful for validating plan
     semantics (``cut`` is the reference's zero-block truncation,
     arrow_dec_mpi.py:728-731).
+
+    ``refine``: merged-layout RCM refinement mode (``"never"`` | ``"auto"``
+    | ``"always"``, see :func:`arrow_matrix_tpu.plan.refine.rcm_refine_merged`);
+    only applies when ``merge_levels``.
     """
     from arrow_matrix_tpu.plan.compile import (
         localize_level_rows,
@@ -130,6 +135,9 @@ def compile_local_plan(
         Bt, cut = merge_levels_to_matrix(
             mats, padded_perms, inv_perm0, width, q
         )
+        from arrow_matrix_tpu.plan.refine import rcm_refine_merged
+
+        Bt, padded_perms, _ = rcm_refine_merged(Bt, padded_perms, refine)
         fmt, mat, mat_sparse = _choose_format(
             Bt, k_hint, slots_per_row, force_format, matrix_dtype
         )

@@ -80,10 +80,14 @@ def compile_region_plan(
     n_blocks: int | None = None,
     k_hint: int = 16,
     region_rows: int | None = None,
+    refine: str = "auto",
 ) -> RegionPlan:
     """Compile a decomposition into a :class:`RegionPlan`: merge all levels
     into one matrix in level-0 order (exactly the merged local plan's
-    operator), then cut it into plateau-sized stripes x regions."""
+    operator), optionally RCM-refine the merged layout
+    (:func:`arrow_matrix_tpu.plan.refine.rcm_refine_merged` — on banded
+    families it collapses the region grid to near-block-tridiagonal), then
+    cut it into plateau-sized stripes x regions."""
     from arrow_matrix_tpu.io.graphio import as_csr
     from arrow_matrix_tpu.parallel.local import merge_levels_to_matrix
     from arrow_matrix_tpu.plan.compile import pad_permutation
@@ -97,6 +101,9 @@ def compile_region_plan(
     padded_perms = [pad_permutation(p, n_pad) for p in perms]
     inv_perm0 = np.argsort(padded_perms[0])
     Bt, cut = merge_levels_to_matrix(mats, padded_perms, inv_perm0, width, q)
+    from arrow_matrix_tpu.plan.refine import rcm_refine_merged
+
+    Bt, padded_perms, _ = rcm_refine_merged(Bt, padded_perms, refine)
 
     R = region_rows or min(cut, DEFAULT_REGION_ROWS)
     n_regions = max(1, -(-cut // R))

@@ -41,6 +41,9 @@ def main():
                    help="block count for the plans (default: ceil(n/width))")
     p.add_argument("--mode", choices=["local", "blocked", "both"],
                    default="both")
+    p.add_argument("--refine", choices=["never", "auto", "always"],
+                   default="auto",
+                   help="merged-layout RCM refinement (plan/refine.py)")
     args = p.parse_args()
 
     import jax
@@ -105,7 +108,8 @@ def main():
     results = {}
     if args.mode in ("local", "both"):
         plan = compile_local_plan(
-            decomp, args.width, n_blocks=args.blocks, k_hint=args.features
+            decomp, args.width, n_blocks=args.blocks, k_hint=args.features,
+            refine=args.refine,
         )
         x0 = rng.random((plan.padded_rows, args.features), dtype=np.float32)
         results["local"] = time_step(plan, local_step, x0)
