@@ -138,24 +138,10 @@ def compile_local_plan(
         from arrow_matrix_tpu.plan.refine import rcm_refine_merged
 
         Bt, padded_perms, _ = rcm_refine_merged(Bt, padded_perms, refine)
-        fmt, mat, mat_sparse = _choose_format(
-            Bt, k_hint, slots_per_row, force_format, matrix_dtype
-        )
-        return LocalArrowPlan(
-            levels=(
-                LocalLevel(
-                    mat=mat,
-                    mat_sparse=mat_sparse,
-                    dst_to_src=None,
-                    src_to_dst=None,
-                    cut=cut,
-                    fmt=fmt,
-                ),
-            ),
-            width=width,
-            n_rows=n,
-            padded_rows=n_pad,
-            permutations=tuple(padded_perms),
+        return local_plan_from_merged(
+            Bt, cut, padded_perms, width, q, n,
+            k_hint=k_hint, slots_per_row=slots_per_row,
+            force_format=force_format, matrix_dtype=matrix_dtype,
         )
 
     levels = []
@@ -206,6 +192,92 @@ def compile_local_plan(
         padded_rows=n_pad,
         permutations=tuple(padded_perms),
     )
+
+
+def local_plan_from_merged(
+    Bt,
+    cut: int,
+    padded_perms,
+    width: int,
+    q: int,
+    n: int,
+    k_hint: int = 16,
+    slots_per_row: int | None = None,
+    force_format: str | None = None,
+    matrix_dtype=np.float32,
+) -> LocalArrowPlan:
+    """Build the merged :class:`LocalArrowPlan` from an already-merged (and
+    possibly refined) ``(cut, cut)`` operator in level-0 order."""
+    fmt, mat, mat_sparse = _choose_format(
+        Bt, k_hint, slots_per_row, force_format, matrix_dtype
+    )
+    return LocalArrowPlan(
+        levels=(
+            LocalLevel(
+                mat=mat,
+                mat_sparse=mat_sparse,
+                dst_to_src=None,
+                src_to_dst=None,
+                cut=cut,
+                fmt=fmt,
+            ),
+        ),
+        width=width,
+        n_rows=n,
+        padded_rows=q * width,
+        permutations=tuple(padded_perms),
+    )
+
+
+def compile_single_chip(
+    decomposition,
+    width: int,
+    n_blocks: int | None = None,
+    k_hint: int = 16,
+    refine: str = "auto",
+    region_rows: int | None = None,
+):
+    """Compile the best single-chip executor and return ``(plan, step_fn)``.
+
+    Selection rule (measured on v5e): when the RCM refinement reveals banded
+    structure (``applied``) on a matrix whose dense operand cannot be
+    VMEM-resident (``cut`` above the BSR residency bound), the
+    region-partitioned executor with VMEM-sized regions wins — every part's
+    operand fits VMEM, so dense-enough parts run on the BSR/MXU path
+    (grid-202k: 300 vs 193 M nnz/s; grid-1M: 271 vs 134). Otherwise the
+    merged local plan is best (scattered families: region partitioning pays
+    partial-sum traffic for nothing; small matrices: the merged format
+    chooser already picks BSR directly).
+    """
+    from arrow_matrix_tpu.io.graphio import as_csr
+    from arrow_matrix_tpu.plan.compile import pad_permutation
+    from arrow_matrix_tpu.plan.refine import rcm_refine_merged
+    from arrow_matrix_tpu.parallel.region import (
+        BSR_REGION_ROWS,
+        region_plan_from_merged,
+        region_step,
+    )
+
+    mats = [as_csr(d[0]) for d in decomposition]
+    perms = [np.asarray(d[1], dtype=np.int64) for d in decomposition]
+    n = mats[0].shape[0]
+    q = n_blocks or max(1, -(-n // width))
+
+    padded_perms = [pad_permutation(p, q * width) for p in perms]
+    inv_perm0 = np.argsort(padded_perms[0])
+    Bt, cut = merge_levels_to_matrix(mats, padded_perms, inv_perm0, width, q)
+    Bt, padded_perms, applied = rcm_refine_merged(Bt, padded_perms, refine)
+
+    if applied and cut > BSR_REGION_ROWS:
+        plan = region_plan_from_merged(
+            Bt, cut, padded_perms, width, q, n,
+            k_hint=k_hint, region_rows=region_rows or BSR_REGION_ROWS,
+        )
+        return plan, region_step
+    plan = local_plan_from_merged(
+        Bt, cut, padded_perms, width, q, n, k_hint=k_hint
+    )
+    return plan, local_step
 
 
 def _choose_format(Bt, k_hint, slots_per_row, force_format, dtype=np.float32):

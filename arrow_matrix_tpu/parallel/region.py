@@ -56,6 +56,12 @@ DEFAULT_REGION_ROWS = 196_608  # 1.5 * 128k, comfortably on the plateau
 #: the boundary gathers stay on the plateau.
 PACKED_SLOTS_CAP = 240_000
 
+#: Region size at which every part's dense operand is VMEM-resident
+#: (rows x 512B lane-padded = the 8MB budget in ``preferred_format``), so
+#: the per-part format chooser can put dense-enough parts on the BSR/MXU
+#: path. Used by the auto single-chip executor for RCM-banded matrices.
+BSR_REGION_ROWS = 16_384
+
 
 @struct.dataclass
 class RegionPlan:
@@ -104,7 +110,24 @@ def compile_region_plan(
     from arrow_matrix_tpu.plan.refine import rcm_refine_merged
 
     Bt, padded_perms, _ = rcm_refine_merged(Bt, padded_perms, refine)
+    return region_plan_from_merged(
+        Bt, cut, padded_perms, width, q, n, k_hint, region_rows
+    )
 
+
+def region_plan_from_merged(
+    Bt,
+    cut: int,
+    padded_perms,
+    width: int,
+    q: int,
+    n: int,
+    k_hint: int = 16,
+    region_rows: int | None = None,
+) -> RegionPlan:
+    """Build a :class:`RegionPlan` from an already-merged (and possibly
+    refined) ``(cut, cut)`` operator in level-0 order."""
+    n_pad = q * width
     R = region_rows or min(cut, DEFAULT_REGION_ROWS)
     n_regions = max(1, -(-cut // R))
     starts = [g * R for g in range(n_regions)]

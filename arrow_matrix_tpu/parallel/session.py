@@ -53,7 +53,7 @@ import jax.numpy as jnp
 
 from arrow_matrix_tpu.io import graphio
 from arrow_matrix_tpu.parallel.arrow_spmm import ArrowSpmm, block_mesh
-from arrow_matrix_tpu.parallel.local import compile_local_plan, local_step
+from arrow_matrix_tpu.parallel.local import compile_single_chip
 from arrow_matrix_tpu.plan import compile_plan
 
 
@@ -61,7 +61,9 @@ class ArrowSession:
     """Iterated arrow SpMM session on however many devices are available.
 
     ``n_devices > 1`` uses the shard_map runner over a block mesh;
-    ``n_devices == 1`` uses the merged single-chip plan.
+    ``n_devices == 1`` uses the best single-chip executor (merged plan, or
+    the region-partitioned executor when the RCM refinement reveals banded
+    structure — see :func:`compile_single_chip`).
     """
 
     def __init__(
@@ -88,14 +90,11 @@ class ArrowSession:
             self._runner = ArrowSpmm(self.plan, block_mesh(self.n_devices))
             self._step = self._runner.step
         else:
-            self.plan = compile_local_plan(
-                decomposition,
-                width,
-                k_hint=features,
-                block_diagonal=block_diagonal,
+            self.plan, step_fn = compile_single_chip(
+                decomposition, width, k_hint=features
             )
             self._device_plan = jax.device_put(self.plan)
-            jitted = jax.jit(local_step)
+            jitted = jax.jit(step_fn)
             self._step = lambda x: jitted(self._device_plan, x)
 
     @classmethod

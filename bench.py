@@ -10,7 +10,9 @@ on the available chip, and report effective nonzeros processed per second.
 
 Two executors are timed:
 
-* the merged single-chip plan (``local_step``) — headline ``value``;
+* the best single-chip executor (``compile_single_chip``: the merged plan,
+  or the region executor for RCM-banded matrices) — headline ``value``,
+  with the chosen executor reported as ``executor``;
 * the blocked executor (``blocked_step``) — the DISTRIBUTED program
   (per-block kernels + routing exchanges + emulated collectives) on one
   chip, reported as ``arrow_spmm_distributed_nnz_per_s``.
@@ -52,7 +54,8 @@ def main():
     from arrow_matrix_tpu.decomposition import arrow_decomposition
     from arrow_matrix_tpu.io.generate import barabasi_albert
     from arrow_matrix_tpu.parallel.blocked import blocked_step, compile_blocked_plan
-    from arrow_matrix_tpu.parallel.local import compile_local_plan, local_step
+    from arrow_matrix_tpu.parallel.local import compile_single_chip
+    from arrow_matrix_tpu.parallel.region import RegionPlan
 
     rng = np.random.default_rng(0)
     if args.graph == "er":
@@ -106,13 +109,15 @@ def main():
         return max((tn - t1) / (args.iterations - 1), 1e-9)
 
     results = {}
+    executor = None
     if args.mode in ("local", "both"):
-        plan = compile_local_plan(
+        plan, step_fn = compile_single_chip(
             decomp, args.width, n_blocks=args.blocks, k_hint=args.features,
             refine=args.refine,
         )
+        executor = "region" if isinstance(plan, RegionPlan) else "merged"
         x0 = rng.random((plan.padded_rows, args.features), dtype=np.float32)
-        results["local"] = time_step(plan, local_step, x0)
+        results["local"] = time_step(plan, step_fn, x0)
     if args.mode in ("blocked", "both"):
         bplan = compile_blocked_plan(
             decomp, args.width, n_blocks=args.blocks, k_hint=args.features
@@ -138,6 +143,8 @@ def main():
         "unit": "nnz/s",
         "vs_baseline": scipy_time / device_time,  # >1 == faster than scipy
     }
+    if executor is not None:
+        out["executor"] = executor
     if "blocked" in results:
         out["arrow_spmm_distributed_nnz_per_s"] = nnz / results["blocked"]
     print(json.dumps(out))

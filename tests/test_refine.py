@@ -148,3 +148,51 @@ def test_refine_mode_validation_and_empty():
         rcm_refine_merged(Bt, padded, "sometimes")
     Bt0, padded0, applied = rcm_refine_merged(Bt, padded, "never")
     assert Bt0 is Bt and padded0 is padded and not applied
+
+
+def test_compile_single_chip_selects_region_on_banded():
+    from arrow_matrix_tpu.parallel.local import compile_single_chip
+    from arrow_matrix_tpu.parallel.region import RegionPlan
+
+    # Banded family above the VMEM residency bound -> region executor
+    # (a smaller grid stays merged because cut <= BSR_REGION_ROWS).
+    A = grid_graph(140)  # 19600 vertices, cut > 16384
+    width = 19600 // 8 + 1
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=True, seed=2
+    )
+    plan, step_fn = compile_single_chip(decomp, width, k_hint=8)
+    assert isinstance(plan, RegionPlan)
+
+    # Scattered family -> merged local plan regardless of size.
+    A = barabasi_albert(20000, 4, seed=1)
+    decomp = arrow_decomposition(
+        A, 2500, max_number_of_levels=100, block_diagonal=True, seed=2
+    )
+    plan, step_fn = compile_single_chip(decomp, 2500, k_hint=8)
+    from arrow_matrix_tpu.parallel.local import LocalArrowPlan
+
+    assert isinstance(plan, LocalArrowPlan)
+
+
+def test_compile_single_chip_golden():
+    from arrow_matrix_tpu.parallel.local import compile_single_chip
+
+    A = grid_graph(140)
+    width = A.shape[0] // 8 + 1
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=True, seed=2
+    )
+    plan, step_fn = compile_single_chip(decomp, width, k_hint=8)
+    n = A.shape[0]
+    X = random_dense(n, 8, seed=13)
+    perm0 = np.asarray(plan.permutations[0])
+    Xp = np.zeros((plan.padded_rows, 8), dtype=np.float32)
+    Xp[:n] = X
+    x = jnp.asarray(Xp[perm0])
+    ref = X.copy()
+    for _ in range(2):
+        x = jax.jit(step_fn)(plan, x)
+        ref = A.astype(np.float32) @ ref
+    got = np.asarray(x)[np.argsort(perm0)][:n]
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -7,7 +7,8 @@ plan falls back to gather-ELL (~198 M nnz/s measured round 1). Region
 partitioning with region_rows <= 16384 makes every part's operand
 VMEM-resident, so ``build_block_format`` can pick BSR per part.
 
-Usage: tools/bench_region_bsr.py [side] [region_rows] [k]
+Usage: tools/bench_region_bsr.py [side] [region_rows] [k] [which]
+  which: local | region | both (default both)
 """
 import sys
 import time
@@ -25,6 +26,7 @@ from arrow_matrix_tpu.utils.profiling import sync
 SIDE = int(sys.argv[1]) if len(sys.argv) > 1 else 450
 REGION = int(sys.argv[2]) if len(sys.argv) > 2 else 16_384
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+WHICH = sys.argv[4] if len(sys.argv) > 4 else "both"
 
 A = grid_graph(SIDE)
 n = A.shape[0]
@@ -53,13 +55,15 @@ def bench(plan, step_fn, tag):
     return dt
 
 
-lp = compile_local_plan(decomp, width, k_hint=K)
-bench(lp, local_step, "local/merged-ELL")
+if WHICH in ("local", "both"):
+    lp = compile_local_plan(decomp, width, k_hint=K)
+    bench(lp, local_step, "local/merged")
 
-rp = compile_region_plan(decomp, width, k_hint=K, region_rows=REGION)
-from arrow_matrix_tpu.ops.bsr_pallas import BsrMat
-n_bsr = sum(isinstance(m, BsrMat) for parts in rp.stripes for m in parts)
-n_parts = sum(len(parts) for parts in rp.stripes)
-print(f"region plan: {len(rp.stripes)} stripes, {n_parts} parts, "
-      f"{n_bsr} BSR", flush=True)
-bench(rp, region_step, f"region[{REGION}]")
+if WHICH in ("region", "both"):
+    rp = compile_region_plan(decomp, width, k_hint=K, region_rows=REGION)
+    from arrow_matrix_tpu.ops.bsr_pallas import BsrMat
+    n_bsr = sum(isinstance(m, BsrMat) for parts in rp.stripes for m in parts)
+    n_parts = sum(len(parts) for parts in rp.stripes)
+    print(f"region plan: {len(rp.stripes)} stripes, {n_parts} parts, "
+          f"{n_bsr} BSR", flush=True)
+    bench(rp, region_step, f"region[{REGION}]")
