@@ -30,9 +30,11 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--graph", choices=["ba", "er", "grid"], default="ba",
+    p.add_argument("--graph", choices=["ba", "er", "grid", "rmat"],
+                   default="ba",
                    help="ba: power-law (scattered, gather-ELL); er: dense-ish "
-                        "(Pallas BSR); grid: planar family")
+                        "(Pallas BSR); grid: planar family; rmat: Graph500 "
+                        "power-law at scale=log2(vertices), edge factor 16")
     p.add_argument("--vertices", type=int, default=200_000)
     p.add_argument("--ba-neighbors", type=int, default=4)
     p.add_argument("--width", type=int, default=25_000)
@@ -70,6 +72,12 @@ def main():
         side = int(args.vertices ** 0.5)
         A = grid_graph(side)
         args.width = min(args.width, max(1, (side * side) // 8 + 1))
+    elif args.graph == "rmat":
+        from arrow_matrix_tpu.io.generate import rmat_graph
+
+        scale = max(1, int(round(np.log2(args.vertices))))
+        A = rmat_graph(scale, seed=1)
+        args.width = min(max(args.width, A.shape[0] // 8 + 1), A.shape[0])
     else:
         A = barabasi_albert(args.vertices, args.ba_neighbors, seed=1)
     args.vertices = A.shape[0]
