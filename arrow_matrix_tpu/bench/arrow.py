@@ -50,14 +50,15 @@ def bench_spmm(
         (reference: arrow_bench.py:28-41).
     :param n_devices: block-axis mesh size; defaults to all local devices,
         or 1 for the fused single-chip path.
-    :param mode: single-chip executor — 'local' (all levels merged into one
-        matrix) or 'blocked' (the distributed program's per-block stripe
-        structure with width-bounded gather windows). Measured on v5e the
-        merged plan stays ahead at every size that fits HBM (241 vs 148M
-        nnz/s at 200k vertices, 76 vs 67M at 1M), so 'auto' currently means
-        'local'; 'blocked' remains the hardware stand-in for the
-        distributed program and the basis for multi-chip projections.
-        Ignored when n_devices > 1.
+    :param mode: single-chip executor — 'auto' picks the best one
+        (``compile_single_chip``: the merged plan, or the region executor
+        when the RCM refinement reveals banded structure — grid-202k 327 vs
+        193M nnz/s measured); 'local' forces the merged plan; 'blocked'
+        runs the distributed program's per-block stripe structure with
+        width-bounded gather windows (the hardware stand-in for the
+        distributed program and the basis for multi-chip projections; the
+        merged plan stays ahead single-chip, 241 vs 148M nnz/s at 200k
+        vertices). Ignored when n_devices > 1.
     """
     devices = jax.devices()
     n_devices = n_devices or len(devices)
@@ -97,9 +98,9 @@ def bench_spmm(
     )
 
     from arrow_matrix_tpu.parallel.blocked import blocked_step, compile_blocked_plan
+    from arrow_matrix_tpu.parallel.local import compile_single_chip
 
-    if mode == "auto":
-        mode = "local"
+    step_fn = None
     with metrics.span("plan_compile_time"):
         if n_devices > 1:
             plan = compile_plan(
@@ -114,11 +115,17 @@ def bench_spmm(
                 decomposition, width, block_diagonal=block_diagonal,
                 k_hint=features,
             )
+            step_fn = blocked_step
+        elif mode == "auto":
+            plan, step_fn = compile_single_chip(
+                decomposition, width, k_hint=features
+            )
         else:
             plan = compile_local_plan(
                 decomposition, width, k_hint=features,
                 block_diagonal=block_diagonal,
             )
+            step_fn = local_step
     nnz = sum(graphio.csr_nnz(m) for m, _ in decomposition)
 
     rng = np.random.default_rng(seed + 1)
@@ -135,7 +142,7 @@ def bench_spmm(
         x = jnp.asarray(
             rng.random((plan.padded_rows, features), dtype=np.float32)
         )
-        jitted = jax.jit(blocked_step if mode == "blocked" else local_step)
+        jitted = jax.jit(step_fn)
         if profile:
             # Single chip has no comm phases: the whole step is the kernel.
             def step(x):
