@@ -214,6 +214,115 @@ def bsr_spmm(
     return jnp.where(mask, out, 0.0)
 
 
+def _make_stream_kernel(TB: int, TN: int, precision):
+    """Streaming-X variant: X lives in HBM; each program DMAs the (TN, k)
+    X slices its TB tiles need into a double-buffered VMEM scratch, with the
+    NEXT program's slices prefetched while this program's dots run."""
+
+    def kernel(
+        prog_rows_ref, cols_ref, a_ref, x_ref, o_ref, acc_ref, xbuf_ref, sem_ref
+    ):
+        p = pl.program_id(0)
+        n_p = pl.num_programs(0)
+        slot = lax.rem(p, 2)
+        nxt = lax.rem(p + 1, 2)
+
+        def issue(prog, buf):
+            for r in range(TB):
+                col = cols_ref[prog * TB + r]
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(col * TN, TN), :],
+                    xbuf_ref.at[buf, r],
+                    sem_ref.at[buf, r],
+                ).start()
+
+        @pl.when(p == 0)
+        def _():
+            issue(0, 0)
+
+        @pl.when(p + 1 < n_p)
+        def _():
+            issue(p + 1, nxt)
+
+        row_here = prog_rows_ref[p]
+        is_first = jnp.logical_or(
+            p == 0, prog_rows_ref[jnp.maximum(p - 1, 0)] != row_here
+        )
+
+        @pl.when(is_first)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        for r in range(TB):
+            col = cols_ref[p * TB + r]
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(col * TN, TN), :],
+                xbuf_ref.at[slot, r],
+                sem_ref.at[slot, r],
+            ).wait()
+            acc_ref[:] += lax.dot_general(
+                a_ref[r].astype(jnp.float32),
+                xbuf_ref[slot, r],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+
+        is_last = jnp.logical_or(
+            p == n_p - 1, prog_rows_ref[jnp.minimum(p + 1, n_p - 1)] != row_here
+        )
+
+        @pl.when(is_last)
+        def _():
+            o_ref[:] = acc_ref[:]
+
+    return kernel
+
+
+def bsr_spmm_stream(
+    m: BsrMat,
+    x: jnp.ndarray,
+    interpret: bool | None = None,
+    precision=lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """``Y = A @ X`` with X STREAMED from HBM per tile (no VMEM residency
+    requirement — any operand height). Same contract as :func:`bsr_spmm`.
+
+    Per (128,128) tile the kernel moves one 64KB A tile plus one lane-padded
+    X slice (64KB for k <= 128) — 2x :func:`bsr_spmm`'s traffic, hidden
+    behind the same MXU dots by double-buffered manual DMA; the cost model
+    (:func:`preferred_format`) accounts for the re-reads when choosing it.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    k = x.shape[1]
+    TB, TM, TN = m.tiles_per_program, m.tile_m, m.tile_n
+    assert x.shape[0] == m.n_col_tiles * TN, (x.shape, m.n_col_tiles * TN)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(m.n_programs,),
+        in_specs=[
+            pl.BlockSpec((TB, TM, TN), lambda p, rows, cols: (p, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # X stays in HBM
+        ],
+        out_specs=pl.BlockSpec((TM, k), lambda p, rows, cols: (rows[p], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((TM, k), jnp.float32),
+            pltpu.VMEM((2, TB, TN, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, TB)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_stream_kernel(TB, TN, precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m.n_row_tiles * TM, k), jnp.float32),
+        interpret=interpret,
+    )(m.prog_rows, m.tiles_col, m.tiles_data, x)
+    mask = jnp.repeat(m.row_occupied, TM)[:, None]
+    return jnp.where(mask, out, 0.0)
+
+
 def stack_bsr_from_csr(
     blocks: list[sparse.csr_matrix],
     tile_m: int = 128,

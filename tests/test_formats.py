@@ -258,3 +258,48 @@ def test_choose_slot_count_virtual_bound():
     extra_rows = lambda r: int((-(-np.maximum(nnz - r, 0) // r)).sum())
     assert 1000 + extra_rows(r_bound) <= 1.25 * 1000
     assert r_bound >= r_free
+
+
+@pytest.mark.parametrize(
+    "n,m,density,k",
+    [
+        (1000, 900, 0.01, 16),
+        (513, 513, 0.05, 128),  # ragged rows, wide features
+        (256, 1024, 0.002, 8),  # wide, sparse tile rows
+        (128, 128, 0.3, 4),  # single tile
+    ],
+)
+def test_bsr_stream_matches_resident(n, m, density, k):
+    # Streaming-X kernel: same contract as bsr_spmm without VMEM residency.
+    from arrow_matrix_tpu.ops.bsr_pallas import (
+        bsr_from_csr,
+        bsr_spmm,
+        bsr_spmm_stream,
+    )
+
+    A = sparse.random(n, m, density=density, format="csr",
+                      dtype=np.float32, random_state=7)
+    mat = bsr_from_csr(A)
+    rng = np.random.default_rng(1)
+    x = rng.random((mat.n_col_tiles * 128, k), dtype=np.float32)
+    ref = A @ x[:m]
+    y_res = np.asarray(bsr_spmm(mat, jnp.asarray(x)))[:n]
+    y_str = np.asarray(bsr_spmm_stream(mat, jnp.asarray(x)))[:n]
+    np.testing.assert_allclose(y_res, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y_str, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bsr_stream_unoccupied_tile_rows_are_zero():
+    from arrow_matrix_tpu.ops.bsr_pallas import bsr_from_csr, bsr_spmm_stream
+
+    # Rows 128..255 empty: their tile row holds no tiles and must be zero.
+    A = sparse.lil_matrix((384, 384), dtype=np.float32)
+    A[:128, :] = 1.0
+    A[260, 5] = 3.0
+    A = A.tocsr()
+    mat = bsr_from_csr(A)
+    x = np.ones((mat.n_col_tiles * 128, 16), dtype=np.float32)
+    y = np.asarray(bsr_spmm_stream(mat, jnp.asarray(x)))
+    ref = A @ x[:384]
+    np.testing.assert_allclose(y[:384], ref, rtol=1e-5, atol=1e-5)
+    assert np.all(y[128:256] == 0)
