@@ -48,6 +48,10 @@ def main():
     p.add_argument("--refine", choices=["never", "auto", "always"],
                    default="auto",
                    help="merged-layout RCM refinement (plan/refine.py)")
+    p.add_argument("--comm-volume", type=int, default=8,
+                   help="also report per-device comm volume of the N-device "
+                        "distributed plan and the matching 1.5D baseline "
+                        "(host-side, exact from the plans; 0 disables)")
     args = p.parse_args()
 
     import jax
@@ -155,6 +159,31 @@ def main():
         out["executor"] = executor
     if "blocked" in results:
         out["arrow_spmm_distributed_nnz_per_s"] = nnz / results["blocked"]
+    if args.comm_volume:
+        # Exact per-device bytes/iteration from the compiled plans (the
+        # reference's headline comparison, README.md:3) — host-side only.
+        try:
+            from arrow_matrix_tpu.baselines.spmm_15d import replication_factor
+            from arrow_matrix_tpu.plan import compile_plan
+            from arrow_matrix_tpu.plan.comm import (
+                arrow_comm_volume,
+                spmm_15d_comm_volume,
+            )
+
+            qv = args.comm_volume
+            dplan = compile_plan(decomp, args.width, qv, k_hint=args.features)
+            c = replication_factor(qv)
+            out["comm_volume"] = {
+                "n_devices": qv,
+                "arrow_bytes_per_device": arrow_comm_volume(
+                    dplan, args.features
+                )["total_bytes"],
+                "spmm_15d_bytes_per_device": spmm_15d_comm_volume(
+                    args.vertices, args.vertices, args.features, qv // c, c
+                )["total_bytes"],
+            }
+        except Exception as e:  # noqa: BLE001 — reporting must not kill bench
+            out["comm_volume"] = {"error": str(e)}
     print(json.dumps(out))
 
 
