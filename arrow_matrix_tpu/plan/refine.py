@@ -19,11 +19,19 @@ symmetrized pattern. Effects (measured, v5e):
   become band-local (the fast regime of the gather engine).
 
 On scattered power-law families RCM makes tiling WORSE (BA-200k: 628k ->
-861k occupied tiles), so refinement is gated: ``auto`` adopts the relayout
-only when it reduces occupied tiles by at least 15%. Within-block RCM
-(which would be a valid *arrow* refinement usable by the distributed path
-too) was measured a no-op — the spanning-forest linearization already
-provides that locality (grid: 1.05x) — so only the global variant exists.
+861k occupied tiles), so refinement is gated twice in ``auto`` mode:
+
+* a degree-skew pre-gate skips RCM outright on power-law structure —
+  measured p99.9/mean symmetrized degree: grid 1.0, ER 1.3 (worth trying)
+  vs BA 17.3, RMAT-s18 39.7 (always rejected, and RCM on a 31M-nnz RMAT
+  costs 46s of pure compile-time waste);
+* the relayout is then adopted only when it reduces occupied tiles by at
+  least 15%.
+
+Within-block RCM (which would be a valid *arrow* refinement usable by the
+distributed path too) was measured a no-op — the spanning-forest
+linearization already provides that locality (grid: 1.05x) — so only the
+global variant exists.
 """
 
 from __future__ import annotations
@@ -36,6 +44,10 @@ from arrow_matrix_tpu.ops.bsr_pallas import tile_density_stats
 
 #: ``auto`` adopts RCM only when occupied tiles shrink by this factor.
 AUTO_TILE_GAIN = 0.85
+
+#: ``auto`` skips RCM when p99.9 of the symmetrized degrees exceeds this
+#: multiple of the mean (power-law structure; measured separation above).
+AUTO_SKEW_SKIP = 4.0
 
 
 def rcm_refine_merged(
@@ -58,6 +70,11 @@ def rcm_refine_merged(
         raise ValueError(f"unknown refine mode {mode!r}")
 
     cut = Bt.shape[0]
+    if mode == "auto":
+        deg = np.diff(Bt.indptr) + np.bincount(Bt.indices, minlength=cut)
+        nz = deg[deg > 0]
+        if nz.size and np.percentile(nz, 99.9) > AUTO_SKEW_SKIP * nz.mean():
+            return Bt, padded_perms, False
     sym = (Bt + Bt.T).tocsr()
     order = np.asarray(
         reverse_cuthill_mckee(sym, symmetric_mode=True), dtype=np.int64

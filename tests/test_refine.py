@@ -196,3 +196,21 @@ def test_compile_single_chip_golden():
         ref = A.astype(np.float32) @ ref
     got = np.asarray(x)[np.argsort(perm0)][:n]
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_auto_skew_pregate_skips_power_law_cheaply():
+    # The degree-skew pre-gate must reject power-law structure before paying
+    # for RCM (46s wasted on a 31M-nnz RMAT without it, measured).
+    from unittest import mock
+
+    A = barabasi_albert(3000, 4, seed=0)
+    _, Bt, padded, _ = _merged(A, 400)
+    with mock.patch(
+        "arrow_matrix_tpu.plan.refine.reverse_cuthill_mckee",
+        side_effect=AssertionError("RCM must not run on power-law input"),
+    ):
+        _, _, applied = rcm_refine_merged(Bt, padded, "auto")
+    assert not applied
+    # 'always' bypasses both gates and adopts unconditionally.
+    _, _, applied = rcm_refine_merged(Bt, padded, "always")
+    assert applied
