@@ -107,3 +107,29 @@ def spmm_15d_comm_volume(
         "psum_bytes": psum,
         "total_bytes": all_gather + psum,
     }
+
+
+def petsc_comm_volume(plan, k: int) -> Dict[str, float]:
+    """Per-device bytes sent per iteration by the PETSc-style 1-D baseline
+    (reference analogue: the bulk X-row exchange,
+    arrow/baseline/spmm_petsc.py:105-144 — one message per peer carrying the
+    X rows the peer's nonlocal columns touch).
+
+    :param plan: a :class:`arrow_matrix_tpu.baselines.matrix_slice.MatrixSlicePlan`.
+    :return: dict with ``padded`` (the static all_to_all's per-pair max M)
+        and ``occupied`` (the reference's ragged per-pair counts) bytes for
+        the busiest device.
+    """
+    send_idx = np.asarray(plan.send_idx)  # (q, q, M), pad == plan.lmax
+    q, _, M = send_idx.shape
+    occupied = (send_idx != plan.lmax).sum(axis=2).astype(np.float64)
+    np.fill_diagonal(occupied, 0.0)
+    per_dev_occ = occupied.sum(axis=1).max(initial=0.0) * k * BYTES
+    padded = (q - 1) * M * k * BYTES
+    return {
+        "q": q,
+        "k": k,
+        "max_per_pair": M,
+        "total_bytes": padded,
+        "occupied_bytes": per_dev_occ,
+    }
