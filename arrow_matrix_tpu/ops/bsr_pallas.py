@@ -418,15 +418,23 @@ def tile_density_stats(A: sparse.csr_matrix, tile_m: int = 128, tile_n: int = 12
     return occ, int(coo.nnz), coo.nnz / occ
 
 
+#: Calibrated v5e cost constants for the two BSR execution modes. The
+#: streaming kernel stays out of the cost model until measured on hardware
+#: (``None`` disables it); once calibrated, set its ns/tile here.
+BSR_NS_PER_TILE = 85.0
+BSR_STREAM_NS_PER_TILE: float | None = None
+
+
 def preferred_format(
     A: sparse.csr_matrix,
     k: int,
     tile_m: int = 128,
     tile_n: int = 128,
-    bsr_ns_per_tile: float = 85.0,
+    bsr_ns_per_tile: float = BSR_NS_PER_TILE,
     ell_ns_per_slot: float = 2.2,
     slot_pad_factor: float = 1.25,
     x_vmem_budget_bytes: int = 8 << 20,
+    bsr_stream_ns_per_tile: float | None = None,
 ) -> str:
     """Time-based cost model choosing 'ell' or 'bsr' per matrix, calibrated
     on v5e: the BSR Pallas kernel streams one (128,128) f32 tile in ~82ns at
@@ -441,10 +449,19 @@ def preferred_format(
     analogue of the reference's GPU tiling, spmm_petsc.py:323-395)."""
     from arrow_matrix_tpu.ops.tiling import plan_feature_tiles, vmem_resident_bytes
 
+    if bsr_stream_ns_per_tile is None:
+        bsr_stream_ns_per_tile = BSR_STREAM_NS_PER_TILE
+
     occ, nnz, _ = tile_density_stats(A, tile_m, tile_n)
     if nnz == 0:
         return "ell"
     n_col_pad = max(1, -(-A.shape[1] // tile_n)) * tile_n
+    tile_scale = (tile_m * tile_n) / (128 * 128)
+    stream_ns = (
+        occ * bsr_stream_ns_per_tile * tile_scale
+        if bsr_stream_ns_per_tile is not None
+        else None
+    )
     # Feasibility is set by PHYSICAL (lane-padded) bytes: a narrow-k operand
     # still occupies rows x 128 lanes, so k-tiling only helps above 128
     # columns (measured: f32 (200064, 8) -> ~99MB scoped VMEM).
@@ -452,8 +469,15 @@ def preferred_format(
         n_col_pad, k, needs_vmem_residency=True, vmem_budget=x_vmem_budget_bytes
     )
     if vmem_resident_bytes(n_col_pad, min(k, k_t)) > x_vmem_budget_bytes:
-        return "ell"
-    n_k_tiles = -(-k // k_t)
-    bsr_ns = occ * bsr_ns_per_tile * (tile_m * tile_n) / (128 * 128) * n_k_tiles
+        # Resident kernel infeasible at any feature tile: only the
+        # streaming kernel can run BSR here.
+        if stream_ns is None:
+            return "ell"
+        bsr_ns = stream_ns
+    else:
+        n_k_tiles = -(-k // k_t)
+        bsr_ns = occ * bsr_ns_per_tile * tile_scale * n_k_tiles
+        if stream_ns is not None:
+            bsr_ns = min(bsr_ns, stream_ns)
     ell_ns = nnz * slot_pad_factor * ell_ns_per_slot
     return "bsr" if bsr_ns < ell_ns else "ell"

@@ -14,7 +14,15 @@ from typing import Optional
 import jax.numpy as jnp
 from scipy import sparse
 
-from arrow_matrix_tpu.ops.bsr_pallas import BsrMat, bsr_from_csr, bsr_spmm, preferred_format
+from arrow_matrix_tpu.ops.bsr_pallas import (
+    BSR_NS_PER_TILE,
+    BSR_STREAM_NS_PER_TILE,
+    BsrMat,
+    bsr_from_csr,
+    bsr_spmm,
+    bsr_spmm_stream,
+    preferred_format,
+)
 from arrow_matrix_tpu.ops.ell import compact_ell_spmm, ell_spmm, packed_ell_spmm
 from arrow_matrix_tpu.ops.formats import (
     CompactEll,
@@ -124,27 +132,45 @@ def bsr_apply(
     x: jnp.ndarray,
     n_rows_out: int,
     vmem_budget: int = DEFAULT_VMEM_BUDGET,
+    stream: bool | None = None,
 ) -> jnp.ndarray:
-    """BSR SpMM with row padding of the operand and automatic k-tiling:
-    when (padded_rows, k) float32 exceeds the VMEM residency budget, the
-    feature columns are processed in static tiles (the A tiles re-stream
-    once per k-tile; ``preferred_format`` accounts for that)."""
-    n_pad = m.n_col_tiles * m.tile_n
+    """BSR SpMM with row padding of the operand, choosing the execution
+    mode: the X-resident kernel with automatic k-tiling (the A tiles
+    re-stream once per k-tile), or the streaming-X kernel when residency is
+    infeasible / re-streams make it cheaper. ``stream=None`` decides by the
+    same calibrated constants ``preferred_format`` uses; pass True/False to
+    force."""
+    from arrow_matrix_tpu.ops.tiling import vmem_resident_bytes
 
-    def one(xt: jnp.ndarray) -> jnp.ndarray:
+    n_pad = m.n_col_tiles * m.tile_n
+    k = x.shape[1]
+    k_t = plan_feature_tiles(
+        n_pad, k, needs_vmem_residency=True, vmem_budget=vmem_budget
+    )
+    if stream is None:
+        infeasible = vmem_resident_bytes(n_pad, min(k, k_t)) > vmem_budget
+        if BSR_STREAM_NS_PER_TILE is None:
+            stream = False
+        elif infeasible:
+            stream = True
+        else:
+            n_k_tiles = -(-k // k_t)
+            stream = BSR_STREAM_NS_PER_TILE < BSR_NS_PER_TILE * n_k_tiles
+
+    def pad_rows(xt: jnp.ndarray) -> jnp.ndarray:
         pad = n_pad - xt.shape[0]
         if pad > 0:
             xt = jnp.concatenate(
                 [xt, jnp.zeros((pad, xt.shape[1]), xt.dtype)], axis=0
             )
-        return bsr_spmm(m, xt)[:n_rows_out]
+        return xt
 
-    k_t = plan_feature_tiles(
-        n_pad,
-        x.shape[1],
-        needs_vmem_residency=True,
-        vmem_budget=vmem_budget,
-    )
+    if stream:
+        return bsr_spmm_stream(m, pad_rows(x))[:n_rows_out].astype(x.dtype)
+
+    def one(xt: jnp.ndarray) -> jnp.ndarray:
+        return bsr_spmm(m, pad_rows(xt))[:n_rows_out]
+
     return tiled_apply(one, x, k_t).astype(x.dtype)
 
 

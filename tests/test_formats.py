@@ -303,3 +303,34 @@ def test_bsr_stream_unoccupied_tile_rows_are_zero():
     ref = A @ x[:384]
     np.testing.assert_allclose(y[:384], ref, rtol=1e-5, atol=1e-5)
     assert np.all(y[128:256] == 0)
+
+
+def test_bsr_apply_stream_mode_matches_resident():
+    from arrow_matrix_tpu.ops.bsr_pallas import bsr_from_csr
+    from arrow_matrix_tpu.ops.dispatch import bsr_apply
+
+    A = sparse.random(500, 700, density=0.02, format="csr",
+                      dtype=np.float32, random_state=11)
+    mat = bsr_from_csr(A)
+    x = np.random.default_rng(2).random((700, 16), dtype=np.float32)
+    ref = A @ x
+    y_res = np.asarray(bsr_apply(mat, jnp.asarray(x), 500, stream=False))
+    y_str = np.asarray(bsr_apply(mat, jnp.asarray(x), 500, stream=True))
+    np.testing.assert_allclose(y_res, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y_str, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_preferred_format_stream_unlocks_oversized_bsr():
+    from arrow_matrix_tpu.ops.bsr_pallas import preferred_format
+
+    # Dense-tiled matrix whose operand exceeds any residency budget:
+    # resident-only cost model must say 'ell', stream-aware must say 'bsr'.
+    n = 4096
+    diags = [np.ones(n)] * 129
+    A = sparse.diags(diags, list(range(-64, 65)), shape=(n, n),
+                     format="csr", dtype=np.float32)
+    budget = 1 << 20  # force infeasibility at this n
+    assert preferred_format(A, 16, x_vmem_budget_bytes=budget) == "ell"
+    assert preferred_format(
+        A, 16, x_vmem_budget_bytes=budget, bsr_stream_ns_per_tile=170.0
+    ) == "bsr"
