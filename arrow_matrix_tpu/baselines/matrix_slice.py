@@ -34,7 +34,7 @@ from arrow_matrix_tpu.ops.bsr_pallas import (
     preferred_format_blocks,
     stack_bsr_from_csr,
 )
-from arrow_matrix_tpu.ops.formats import EllMat, stack_ells_from_csr
+from arrow_matrix_tpu.ops.formats import stack_ells_from_csr
 
 
 @struct.dataclass

@@ -35,7 +35,6 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from arrow_matrix_tpu.ops.bsr_pallas import (
-    BsrMat,
     preferred_format_blocks,
     stack_bsr_from_csr,
 )

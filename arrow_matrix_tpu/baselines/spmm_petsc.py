@@ -23,10 +23,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from arrow_matrix_tpu.baselines.matrix_slice import MatrixSlicePlan, build_slice_plan
+from arrow_matrix_tpu.baselines.matrix_slice import MatrixSlicePlan
 from arrow_matrix_tpu.ops.dispatch import apply_mat, local_slice
-from arrow_matrix_tpu.ops.ell import ell_spmm
-from arrow_matrix_tpu.ops.formats import EllMat
 
 AXIS = "slice"
 

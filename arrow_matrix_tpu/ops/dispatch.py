@@ -26,7 +26,6 @@ from arrow_matrix_tpu.ops.bsr_pallas import (
 from arrow_matrix_tpu.ops.ell import compact_ell_spmm, ell_spmm, packed_ell_spmm
 from arrow_matrix_tpu.ops.formats import (
     CompactEll,
-    EllMat,
     PackedEll,
     SumMat,
     compact_ell_from_csr,

@@ -29,18 +29,15 @@ from scipy import sparse
 from flax import struct
 
 from arrow_matrix_tpu.ops.bsr_pallas import (
-    BsrMat,
     preferred_format_blocks,
     stack_bsr_from_csr,
 )
 from arrow_matrix_tpu.ops.formats import (
-    EllMat,
     ell_cost_rows,
     stack_compact_ells_from_csr,
     stack_ells_from_csr,
 )
 from arrow_matrix_tpu.plan.routing import (
-    RouteTables,
     ShardedRouteTables,
     build_route_tables,
     build_sharded_route_tables,
