@@ -101,6 +101,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--native", type=str2bool, default=True,
                    help="use the C++ decomposition core when available")
+    p.add_argument("--convert_only", type=str2bool, default=False,
+                   help="save the input as raw CSR npy triplets "
+                        "({name}_data/_indices/_indptr.npy) without "
+                        "decomposing (reference: julia/arrow/"
+                        "convert_to_csr.jl:27-68)")
     args = p.parse_args(argv)
 
     base = os.path.join(args.dataset_dir, args.dataset_name)
@@ -112,6 +117,16 @@ def main(argv=None):
         A = load_matrix(base, args.format, args.directed)
         if args.save_input_graph:
             pickle.dump(A, open(cache, "wb"))
+
+    if args.convert_only:
+        A = A.tocsr()
+        A.sum_duplicates()
+        np.save(base + "_data.npy", A.data.astype(np.float32))
+        np.save(base + "_indices.npy", A.indices.astype(np.int64))
+        np.save(base + "_indptr.npy", A.indptr.astype(np.int64))
+        print(f"saved raw CSR triplets under {base}_*.npy "
+              f"({A.shape[0]} rows, {A.nnz} nnz)")
+        return
 
     width = min(args.width, A.shape[0])
     print(f"decomposing {args.dataset_name}: {A.shape[0]} rows, {A.nnz} nnz, width {width}")
