@@ -295,6 +295,8 @@ def bsr_spmm_stream(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # The DMA destination scratch is float32; match the source layout.
+    x = x.astype(jnp.float32)
     k = x.shape[1]
     TB, TM, TN = m.tiles_per_program, m.tile_m, m.tile_n
     assert x.shape[0] == m.n_col_tiles * TN, (x.shape, m.n_col_tiles * TN)
