@@ -1,6 +1,9 @@
 import os, sys
 pid = int(sys.argv[1]); nproc = int(sys.argv[2])
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+# 8 global devices regardless of process count (2 procs x 4, 4 procs x 2).
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={max(1, 8 // nproc)}"
+)
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -15,7 +18,7 @@ from arrow_matrix_tpu.parallel import ArrowSpmm, block_mesh
 from arrow_matrix_tpu.plan import compile_plan
 from arrow_matrix_tpu.bench.failure import all_processes_succeeded
 
-n, width, q = 400, 51, 8  # 8 global devices = 2 processes x 4
+n, width, q = 400, 51, 8  # 8 global devices spanning all processes
 A = barabasi_albert(n, 4, seed=8)
 decomp = arrow_decomposition(A, width, max_number_of_levels=100, block_diagonal=True, seed=1)
 plan = compile_plan(decomp, width, q)

@@ -11,21 +11,25 @@ import pytest
 
 
 @pytest.mark.timeout(300)
-def test_two_process_global_mesh():
+@pytest.mark.parametrize("nproc,port", [(2, "12431"), (4, "12437")])
+def test_multi_process_global_mesh(nproc, port):
     worker = os.path.join(os.path.dirname(__file__), "helpers", "multihost_worker.py")
     env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
-    port = "12431"
-    p1 = subprocess.Popen(
-        [sys.executable, "-u", worker, "1", "2", port],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
-    )
+    others = [
+        subprocess.Popen(
+            [sys.executable, "-u", worker, str(pid), str(nproc), port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for pid in range(1, nproc)
+    ]
     p0 = subprocess.Popen(
-        [sys.executable, "-u", worker, "0", "2", port],
+        [sys.executable, "-u", worker, "0", str(nproc), port],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
     )
     out0, _ = p0.communicate(timeout=240)
-    out1, _ = p1.communicate(timeout=60)
+    outs = [p.communicate(timeout=60)[0] for p in others]
     assert p0.returncode == 0, out0[-2000:]
-    assert p1.returncode == 0, out1[-2000:]
+    for p, out in zip(others, outs):
+        assert p.returncode == 0, out[-2000:]
     assert "MULTIHOST LOGS OK" in out0, out0[-2000:]
     assert "MULTIHOST OK" in out0, out0[-2000:]
