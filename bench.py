@@ -170,7 +170,8 @@ def main():
                 spmm_15d_comm_volume,
             )
 
-            qv = args.comm_volume
+            # The distributed plan needs qv * width >= padded rows.
+            qv = max(args.comm_volume, -(-args.vertices // args.width))
             dplan = compile_plan(decomp, args.width, qv, k_hint=args.features)
             c = replication_factor(qv)
             out["comm_volume"] = {
