@@ -1,0 +1,89 @@
+"""Project multi-chip step time and scaling efficiency from a compiled
+distributed plan plus measured single-chip constants — the quantitative
+scaling story while real multi-chip hardware is unavailable (NOTES backlog
+items 1/6; BASELINE.json targets >= 80% efficiency).
+
+Model (all constants measured on v5e, see NOTES.md):
+
+* gather-ELL work: occupied slots x ~2.2 ns (plateau gather+FMA rate,
+  sources here are width-bounded by construction);
+* BSR work: stored tiles x ~85 ns (HBM-bound tile stream);
+* compute per device = sum over levels of its role costs; the step's
+  compute span = max over devices (the folding imbalance);
+* wire per device = plan/comm.py exact bytes / ICI bandwidth (v5e ~45 GB/s
+  effective per direction on a 1-D ring torus axis per chip), fully
+  overlappable with compute in the fused program — the projection reports
+  compute-bound, wire-bound, and the max of the two.
+
+Usage: tools/mesh_projection.py [graph: ba|grid] [vertices] [k] [q ...]
+"""
+import sys
+
+import numpy as np
+
+from arrow_matrix_tpu.decomposition import arrow_decomposition
+from arrow_matrix_tpu.io.generate import barabasi_albert, grid_graph
+from arrow_matrix_tpu.ops.bsr_pallas import BsrMat
+from arrow_matrix_tpu.plan import compile_plan
+from arrow_matrix_tpu.plan.comm import arrow_comm_volume
+
+ELL_NS_PER_SLOT = 2.2
+BSR_NS_PER_TILE = 85.0
+ICI_BYTES_PER_S = 45e9
+
+GRAPH = sys.argv[1] if len(sys.argv) > 1 else "ba"
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+QS = [int(a) for a in sys.argv[4:]] or [2, 4, 8, 16]
+
+if GRAPH == "grid":
+    side = int(N ** 0.5)
+    A = grid_graph(side)
+else:
+    A = barabasi_albert(N, 4, seed=1)
+n = A.shape[0]
+nnz_A = A.nnz
+print(f"{GRAPH} n={n} nnz={nnz_A} k={K}", flush=True)
+
+
+def role_ns_per_device(m):
+    """(q,) compute-ns of one stacked role."""
+    if m is None:
+        return 0.0
+    if isinstance(m, BsrMat):
+        # Real tiles per device: stored tiles with any nonzero payload.
+        data = np.asarray(m.tiles_data)
+        real = (np.abs(data).sum(axis=(-2, -1)) > 0).sum(axis=-1)
+        return real * BSR_NS_PER_TILE
+    inner = getattr(m, "inner", m)  # CompactEll wraps an EllMat
+    val = np.asarray(inner.val)
+    slots = (val != 0).sum(axis=(-2, -1))
+    return slots * ELL_NS_PER_SLOT
+
+
+for q in QS:
+    width = -(-n // q)
+    decomp = arrow_decomposition(A, width, max_number_of_levels=100,
+                                 block_diagonal=True, seed=2)
+    plan = compile_plan(decomp, width, q, k_hint=K)
+    per_dev = np.zeros(q)
+    for lvl in plan.levels:
+        for role in (lvl.head, lvl.diag, lvl.col, lvl.band_lo, lvl.band_hi):
+            per_dev = per_dev + role_ns_per_device(role)
+        if lvl.route is not None:
+            # Forward/backward routing gathers + assembly: ~3 width-rows of
+            # gather work per level per device at the plateau rate.
+            per_dev = per_dev + 3 * width * ELL_NS_PER_SLOT
+    compute_s = per_dev.max() * 1e-9
+    vol = arrow_comm_volume(plan, K)
+    wire_s = vol["total_bytes"] / ICI_BYTES_PER_S
+    step_s = max(compute_s, wire_s)
+    total_work_s = per_dev.sum() * 1e-9
+    eff = total_work_s / (q * step_s)
+    print(
+        f"q={q:3d} width={width:8d} levels={len(plan.levels)} "
+        f"compute={compute_s*1e3:7.3f} ms wire={wire_s*1e3:7.3f} ms "
+        f"step={step_s*1e3:7.3f} ms nnz/s={nnz_A/step_s/1e6:8.1f} M "
+        f"parallel_eff={eff:.2f}",
+        flush=True,
+    )
