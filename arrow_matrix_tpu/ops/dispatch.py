@@ -18,9 +18,11 @@ from arrow_matrix_tpu.ops.bsr_pallas import (
     BSR_NS_PER_TILE,
     BSR_STREAM_NS_PER_TILE,
     BsrMat,
+    WindowedBsr,
     bsr_from_csr,
     bsr_spmm,
     bsr_spmm_stream,
+    bsr_spmm_window,
     preferred_format,
 )
 from arrow_matrix_tpu.ops.ell import compact_ell_spmm, ell_spmm, packed_ell_spmm
@@ -173,11 +175,26 @@ def bsr_apply(
     return tiled_apply(one, x, k_t).astype(x.dtype)
 
 
+def windowed_apply(
+    m: WindowedBsr, x: jnp.ndarray, n_rows_out: int
+) -> jnp.ndarray:
+    """Windowed-BSR SpMM with row padding of the operand (no VMEM residency
+    bound; X windows stream from HBM, fetched ~once each on banded
+    structure)."""
+    n_pad = m.inner.n_col_tiles * m.inner.tile_n
+    pad = n_pad - x.shape[0]
+    if pad > 0:
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
+    return bsr_spmm_window(m, x)[:n_rows_out].astype(x.dtype)
+
+
 def apply_mat(m, x: jnp.ndarray, n_rows_out: int) -> Optional[jnp.ndarray]:
     """Apply one (unstacked) block matrix to (n_cols, k) features; None
     blocks contribute nothing."""
     if m is None:
         return None
+    if isinstance(m, WindowedBsr):
+        return windowed_apply(m, x, n_rows_out)
     if isinstance(m, SumMat):
         out = None
         for part in m.parts:

@@ -1,0 +1,122 @@
+"""Windowed-X BSR kernel (`ops/bsr_pallas.bsr_spmm_window`) vs scipy.
+
+The windowed kernel is the banded-family whole-matrix executor: X windows
+stream from HBM via scalar-prefetched BlockSpec indirection, straddling
+tiles fall back to the streaming kernel. Correctness must hold for banded
+matrices with and without straddlers, for non-banded (mostly-residual)
+matrices, and through the dispatch layer.
+"""
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+import jax.numpy as jnp
+
+from arrow_matrix_tpu.ops.bsr_pallas import (
+    bsr_spmm_window,
+    windowed_bsr_from_csr,
+    windowed_tile_fraction,
+)
+from arrow_matrix_tpu.ops.dispatch import windowed_apply
+
+
+def banded_random(n, bw, density, seed, n_cols=None):
+    """Random matrix with nonzeros within +-bw of the diagonal."""
+    rng = np.random.default_rng(seed)
+    m = n_cols or n
+    nnz = int(n * bw * 2 * density)
+    rows = rng.integers(0, n, nnz)
+    cols = np.clip(rows + rng.integers(-bw, bw + 1, nnz), 0, m - 1)
+    A = sparse.csr_matrix(
+        (rng.standard_normal(nnz).astype(np.float32), (rows, cols)),
+        shape=(n, m),
+    )
+    A.sum_duplicates()
+    return A
+
+
+def check(A, k=16, window_tiles=4, seed=0):
+    m = windowed_bsr_from_csr(A, window_tiles=window_tiles)
+    n_pad = m.inner.n_col_tiles * m.inner.tile_n
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n_pad, k)).astype(np.float32)
+    y = np.asarray(bsr_spmm_window(m, jnp.asarray(x), interpret=True))
+    ref = A @ x[: A.shape[1]]
+    np.testing.assert_allclose(y[: A.shape[0]], ref, rtol=1e-4, atol=1e-4)
+    return m
+
+
+def test_banded_no_straddle():
+    # Band well inside aligned windows: bw=64 rows << window of 4*128 rows.
+    A = banded_random(1500, 64, 0.2, seed=1)
+    m = check(A)
+    frac = windowed_tile_fraction(A, window_tiles=4)
+    assert frac > 0.7  # mostly in-window on a banded matrix
+
+
+def test_banded_with_straddlers():
+    # Band comparable to the window: many rows straddle aligned boundaries.
+    A = banded_random(3000, 400, 0.05, seed=2)
+    m = check(A)
+    assert m.residual is not None and m.residual.n_tiles > 0
+
+
+def test_scattered_mostly_residual():
+    # Uniform random: window captures little; correctness must still hold.
+    A = sparse.random(1200, 1200, density=0.01, format="csr",
+                      dtype=np.float32, random_state=3)
+    check(A)
+    assert windowed_tile_fraction(A, window_tiles=2) < 0.9
+
+
+def test_rectangular_and_empty_rows():
+    A = banded_random(700, 50, 0.15, seed=4, n_cols=1100)
+    A = A.tolil()
+    A[100:260] = 0  # a whole empty tile row
+    check(A.tocsr())
+
+
+def test_empty_matrix():
+    A = sparse.csr_matrix((256, 256), dtype=np.float32)
+    m = windowed_bsr_from_csr(A, window_tiles=2)
+    x = jnp.zeros((m.inner.n_col_tiles * 128, 8), jnp.float32)
+    y = np.asarray(bsr_spmm_window(m, x, interpret=True))
+    assert not y.any()
+
+
+def test_windowed_apply_dispatch():
+    A = banded_random(900, 80, 0.1, seed=5)
+    m = windowed_bsr_from_csr(A, window_tiles=4)
+    rng = np.random.default_rng(6)
+    # Short operand: windowed_apply pads rows itself.
+    x = rng.standard_normal((A.shape[1], 16)).astype(np.float32)
+    y = np.asarray(windowed_apply(m, jnp.asarray(x), A.shape[0]))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_grid_merged_operator():
+    """The target structure: RCM-refined merged grid operator."""
+    from arrow_matrix_tpu.decomposition import arrow_decomposition
+    from arrow_matrix_tpu.io.generate import grid_graph
+    from arrow_matrix_tpu.io.graphio import as_csr
+    from arrow_matrix_tpu.parallel.local import merge_levels_to_matrix
+    from arrow_matrix_tpu.plan.compile import pad_permutation
+    from arrow_matrix_tpu.plan.refine import rcm_refine_merged
+
+    A = grid_graph(45)
+    n = A.shape[0]
+    width = n // 8 + 1
+    decomp = arrow_decomposition(A, width, max_number_of_levels=100,
+                                 block_diagonal=True, seed=2)
+    mats = [as_csr(d[0]) for d in decomp]
+    perms = [np.asarray(d[1], dtype=np.int64) for d in decomp]
+    q = max(1, -(-n // width))
+    padded = [pad_permutation(p, q * width) for p in perms]
+    Bt, cut = merge_levels_to_matrix(mats, padded, np.argsort(padded[0]),
+                                     width, q)
+    Bt, padded, applied = rcm_refine_merged(Bt, padded, "always")
+    m = check(Bt, window_tiles=2)
+    # RCM-banded: nearly everything should be in-window.
+    frac = windowed_tile_fraction(Bt, window_tiles=2)
+    assert frac > 0.6, frac

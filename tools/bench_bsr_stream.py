@@ -1,12 +1,15 @@
-"""Streaming-X vs resident BSR kernel, and stream-BSR on the merged grid
-operator vs the region executor.
+"""Streaming-X vs resident BSR kernel, and whole-matrix stream/window BSR
+on the merged grid operator vs the region executor.
 
 Phase A (calibration): ER graph sized for VMEM residency — resident and
 streaming kernels on identical tiles; the ratio calibrates
 ``bsr_stream_ns_per_tile`` for the cost model.
 
 Phase B (the payoff): RCM-refined merged grid-202k operator (X far beyond
-residency) — one streaming-BSR launch vs the 37-part region plan.
+residency) — one streaming-BSR launch, one WINDOWED-BSR launch (X windows
+fetched ~once each instead of once per tile), and the 37-part region plan.
+Each whole-matrix kernel is correctness-checked against scipy before timing.
+Calibrates ``BSR_WINDOW_NS_PER_TILE`` from the windowed run.
 
 Usage: tools/bench_bsr_stream.py [phase: a|b|both] [side] [k]
 """
@@ -96,13 +99,40 @@ if PHASE in ("b", "both"):
     print(f"merged BSR: {mat.n_tiles} tiles, {mat.n_programs} programs",
           flush=True)
     n_pad = mat.n_col_tiles * 128
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (n_pad, K), dtype=np.float32))
+    x_h = np.random.default_rng(0).standard_normal(
+        (n_pad, K)).astype(np.float32)
+    ref = Bt @ x_h[: Bt.shape[1]]
+    x = jnp.asarray(x_h)
     mat = jax.device_put(mat)
+    y = np.asarray(bsr_spmm_stream(mat, x, interpret=False))[: Bt.shape[0]]
+    err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-30)
+    print(f"stream-BSR max rel err {err:.2e}", flush=True)
     dt = bench(
         lambda m, xx: bsr_spmm_stream(m, xx, interpret=False)[: xx.shape[0]],
         mat, x, tag="merged stream-BSR")
-    print(f"stream-BSR nnz/s = {nnz/dt/1e6:.1f} M", flush=True)
+    print(f"stream-BSR nnz/s = {nnz/dt/1e6:.1f} M  "
+          f"({dt/mat.n_tiles*1e9:.0f} ns/tile)", flush=True)
+
+    from arrow_matrix_tpu.ops.bsr_pallas import (
+        bsr_spmm_window, windowed_bsr_from_csr, windowed_tile_fraction,
+    )
+
+    for W in (32, 64):
+        wm = windowed_bsr_from_csr(Bt, window_tiles=W)
+        res_t = wm.residual.n_tiles if wm.residual is not None else 0
+        print(f"windowed W={W}: in-window frac "
+              f"{windowed_tile_fraction(Bt, W):.3f}, "
+              f"{wm.inner.n_tiles} tiles + {res_t} residual", flush=True)
+        wm_d = jax.device_put(wm)
+        y = np.asarray(bsr_spmm_window(wm_d, x, interpret=False))[: Bt.shape[0]]
+        err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-30)
+        print(f"  max rel err {err:.2e}", flush=True)
+        dtw = bench(
+            lambda m, xx: bsr_spmm_window(m, xx, interpret=False)[: xx.shape[0]],
+            wm_d, x, tag=f"  windowed W={W}")
+        total_t = wm.inner.n_tiles + res_t
+        print(f"  windowed nnz/s = {nnz/dtw/1e6:.1f} M  "
+              f"({dtw/total_t*1e9:.0f} ns/tile)", flush=True)
 
     rp = jax.device_put(compile_region_plan(decomp, width, k_hint=K,
                                             region_rows=16_384))
