@@ -180,12 +180,20 @@ def windowed_apply(
 ) -> jnp.ndarray:
     """Windowed-BSR SpMM with row padding of the operand (no VMEM residency
     bound; X windows stream from HBM, fetched ~once each on banded
-    structure)."""
+    structure). Features beyond 128 columns run in lane-width k-tiles so the
+    double-buffered window blocks stay within VMEM."""
     n_pad = m.inner.n_col_tiles * m.inner.tile_n
     pad = n_pad - x.shape[0]
     if pad > 0:
         x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
-    return bsr_spmm_window(m, x)[:n_rows_out].astype(x.dtype)
+    dtype = x.dtype
+
+    def one(xt: jnp.ndarray) -> jnp.ndarray:
+        return bsr_spmm_window(m, xt)[:n_rows_out]
+
+    from arrow_matrix_tpu.ops.tiling import LANES
+
+    return tiled_apply(one, x, min(x.shape[1], LANES)).astype(dtype)
 
 
 def apply_mat(m, x: jnp.ndarray, n_rows_out: int) -> Optional[jnp.ndarray]:

@@ -276,6 +276,21 @@ def compile_single_chip(
     Bt, padded_perms, applied = rcm_refine_merged(Bt, padded_perms, refine)
 
     if applied and cut > BSR_REGION_ROWS:
+        import arrow_matrix_tpu.ops.bsr_pallas as _bp
+        from arrow_matrix_tpu.ops.bsr_pallas import windowed_tile_fraction
+
+        # Once the windowed kernel is calibrated it supersedes the region
+        # executor on banded operators (single launch, no region copies, no
+        # partial-sum traffic); the merged plan's format chooser picks it.
+        if (
+            _bp.BSR_WINDOW_NS_PER_TILE is not None
+            and windowed_tile_fraction(Bt) >= 0.8
+        ):
+            plan = local_plan_from_merged(
+                Bt, cut, padded_perms, width, q, n, k_hint=k_hint
+            )
+            if plan.levels[0].fmt == "window":
+                return plan, local_step
         plan = region_plan_from_merged(
             Bt, cut, padded_perms, width, q, n,
             k_hint=k_hint, region_rows=region_rows or BSR_REGION_ROWS,
@@ -288,13 +303,38 @@ def compile_single_chip(
 
 
 def _choose_format(Bt, k_hint, slots_per_row, force_format, dtype=np.float32):
-    """Pick 'ell', 'bsr', or 'hybrid' for a level matrix and build it.
-    ``dtype=jnp.bfloat16`` halves the BSR tile stream and the ELL value
+    """Pick 'ell', 'bsr', 'window', or 'hybrid' for a level matrix and build
+    it. ``dtype=jnp.bfloat16`` halves the BSR tile stream and the ELL value
     traffic (values are rounded; accumulation stays float32). Measured on
     v5e: bf16 payloads do NOT speed up the dense regimes (the MXU's
     HIGHEST-precision passes dominate, not the tile stream), so bf16 stays
     strictly opt-in."""
+    import arrow_matrix_tpu.ops.bsr_pallas as _bp
+    import arrow_matrix_tpu.ops.tiling as _tiling
+    from arrow_matrix_tpu.ops.bsr_pallas import (
+        windowed_bsr_from_csr,
+        windowed_tile_fraction,
+    )
+    from arrow_matrix_tpu.ops.tiling import vmem_resident_bytes
+
+    if force_format == "window":
+        return "window", windowed_bsr_from_csr(Bt, dtype=dtype), None
     fmt = force_format or preferred_format(Bt, k_hint)
+    if (
+        force_format is None
+        and _bp.BSR_WINDOW_NS_PER_TILE is not None
+        and vmem_resident_bytes(Bt.shape[1], min(k_hint, 128))
+        > _tiling.DEFAULT_VMEM_BUDGET
+        and windowed_tile_fraction(Bt) >= 0.8
+    ):
+        # Calibrated windowed kernel beats per-tile streaming on banded
+        # operators beyond VMEM residency; compare against the chosen
+        # alternative by the same time model preferred_format uses.
+        occ, nnz, _ = tile_density_stats(Bt)
+        win_ns = occ * _bp.BSR_WINDOW_NS_PER_TILE
+        alt_ns = nnz * 1.25 * 2.2  # the merged-ELL cost floor
+        if win_ns < alt_ns:
+            return "window", windowed_bsr_from_csr(Bt, dtype=dtype), None
     if fmt == "ell" and force_format is None:
         # Mixed structure: peel dense tiles onto the MXU when they hold a
         # meaningful share of the nonzeros.
@@ -313,6 +353,10 @@ def _choose_format(Bt, k_hint, slots_per_row, force_format, dtype=np.float32):
 
 
 def _apply(lvl: LocalLevel, x_lvl: jnp.ndarray) -> jnp.ndarray:
+    if lvl.fmt == "window":
+        from arrow_matrix_tpu.ops.dispatch import windowed_apply
+
+        return windowed_apply(lvl.mat, x_lvl, lvl.cut)
     if lvl.fmt == "bsr":
         return bsr_apply(lvl.mat, x_lvl, lvl.cut)
     if lvl.fmt == "hybrid":

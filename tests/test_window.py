@@ -95,6 +95,66 @@ def test_windowed_apply_dispatch():
     np.testing.assert_allclose(y, A @ x, rtol=1e-4, atol=1e-4)
 
 
+def _grid_decomp(side=60):
+    from arrow_matrix_tpu.decomposition import arrow_decomposition
+    from arrow_matrix_tpu.io.generate import grid_graph
+
+    A = grid_graph(side)
+    width = A.shape[0] // 8 + 1
+    decomp = arrow_decomposition(A, width, max_number_of_levels=100,
+                                 block_diagonal=True, seed=2)
+    return A, width, decomp
+
+
+def _golden(A, plan, x):
+    P0 = np.asarray(plan.permutations[0])
+    Af = np.zeros((plan.padded_rows, plan.padded_rows), dtype=np.float32)
+    Af[: A.shape[0], : A.shape[0]] = A.toarray()
+    return Af[np.ix_(P0, P0)] @ x
+
+
+def test_forced_window_plan():
+    """force_format='window' compiles a windowed merged plan whose step
+    matches the golden."""
+    import jax
+    from arrow_matrix_tpu.parallel.local import compile_local_plan, local_step
+
+    A, width, decomp = _grid_decomp()
+    plan = compile_local_plan(decomp, width, k_hint=16,
+                              force_format="window", refine="always")
+    assert plan.levels[0].fmt == "window"
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((plan.padded_rows, 16)).astype(np.float32)
+    y = np.asarray(jax.jit(local_step)(jax.device_put(plan), jnp.asarray(x)))
+    np.testing.assert_allclose(y, _golden(A, plan, x), rtol=1e-4, atol=1e-4)
+
+
+def test_calibrated_auto_selection(monkeypatch):
+    """With BSR_WINDOW_NS_PER_TILE calibrated (and the VMEM/region gates
+    shrunk to test scale), compile_single_chip auto-selects the windowed
+    merged plan over the region executor, and the step matches the golden."""
+    import jax
+    import arrow_matrix_tpu.ops.bsr_pallas as bp
+    import arrow_matrix_tpu.ops.tiling as tiling
+    import arrow_matrix_tpu.parallel.region as rg_mod
+    from arrow_matrix_tpu.parallel.local import compile_single_chip, local_step
+    from arrow_matrix_tpu.parallel.local import LocalArrowPlan
+
+    monkeypatch.setattr(bp, "BSR_WINDOW_NS_PER_TILE", 1.0)
+    monkeypatch.setattr(tiling, "DEFAULT_VMEM_BUDGET", 1 << 18)
+    monkeypatch.setattr(rg_mod, "BSR_REGION_ROWS", 1024)
+    A, width, decomp = _grid_decomp()
+    plan, step = compile_single_chip(decomp, width, k_hint=16,
+                                     refine="always")
+    assert isinstance(plan, LocalArrowPlan)
+    assert plan.levels[0].fmt == "window"
+    assert step is local_step
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((plan.padded_rows, 16)).astype(np.float32)
+    y = np.asarray(jax.jit(step)(jax.device_put(plan), jnp.asarray(x)))
+    np.testing.assert_allclose(y, _golden(A, plan, x), rtol=1e-4, atol=1e-4)
+
+
 def test_grid_merged_operator():
     """The target structure: RCM-refined merged grid operator."""
     from arrow_matrix_tpu.decomposition import arrow_decomposition
