@@ -38,6 +38,12 @@ def main(argv=None):
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--validate", type=str2bool, default=False)
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--format", choices=["auto", "ell", "bsr"], default="auto",
+                   help="local-block kernel: the gather path, the Pallas "
+                        "BSR/MXU path with automatic k-tiling, or the "
+                        "calibrated cost model (the TPU analogue of the "
+                        "reference's --gpu-tiling knob, "
+                        "scripts/spmm_15d_main.py:68)")
     p.add_argument("--log_dir", type=str, default="./logs")
     args = p.parse_args(argv)
 
@@ -84,7 +90,12 @@ def main(argv=None):
         },
     )
 
-    runner = Spmm15D(A, grid_mesh(n_dev // c, c))
+    runner = Spmm15D(
+        A,
+        grid_mesh(n_dev // c, c),
+        k_hint=args.columns,
+        force_format=None if args.format == "auto" else args.format,
+    )
     nnz = graphio.csr_nnz(A)
     X = random_dense(runner.NK, args.columns, seed=1)
     x = runner.distribute(X)

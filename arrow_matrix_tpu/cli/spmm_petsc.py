@@ -48,6 +48,12 @@ def main(argv=None):
     p.add_argument("--edges", type=int, default=1_000_000)
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--format", choices=["auto", "ell", "bsr"], default="auto",
+                   help="local-block kernel: the gather path, the Pallas "
+                        "BSR/MXU path with automatic k-tiling, or the "
+                        "calibrated cost model (the TPU analogue of the "
+                        "reference's --gpu-tiling / --memory knobs, "
+                        "scripts/spmm_petsc_main.py:38-41)")
     p.add_argument("--dryrun", type=str2bool, default=False)
     p.add_argument("--validate", type=str2bool, default=False)
     p.add_argument("--log_dir", type=str, default="./logs")
@@ -63,7 +69,13 @@ def main(argv=None):
         counts = None
         dataset = f"random_{args.vertices}_{args.edges}"
 
-    plan = build_slice_plan(A, row_counts=counts, n_devices=n_dev)
+    plan = build_slice_plan(
+        A,
+        row_counts=counts,
+        n_devices=n_dev,
+        k_hint=args.columns,
+        force_format=None if args.format == "auto" else args.format,
+    )
     if args.dryrun:
         print(json.dumps({
             "n_devices": n_dev,
