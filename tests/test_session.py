@@ -211,3 +211,22 @@ def test_pagerank_example():
     for _ in range(40):
         x = 0.85 * (M @ x) + 0.15 / n
     np.testing.assert_allclose(got, x, rtol=1e-3, atol=1e-6)
+
+
+def test_gcn_propagation_example():
+    """The GCN example's device propagation matches its scipy reference."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.gcn_propagation import gcn_propagate, reference_model
+
+    rng = np.random.default_rng(3)
+    A = barabasi_albert(300, 4, seed=9)
+    H0 = rng.standard_normal((A.shape[0], 8)).astype(np.float32)
+    weights = [
+        (rng.standard_normal((8, 12)) / np.sqrt(8)).astype(np.float32),
+        (rng.standard_normal((12, 4)) / np.sqrt(12)).astype(np.float32),
+    ]
+    got = gcn_propagate(A, H0, weights, width=80, n_devices=1)
+    ref = reference_model(A, H0, weights)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
