@@ -51,10 +51,51 @@ def _ell_or_compact(b: sparse.csr_matrix):
     return ell_from_csr(b)
 
 
+def maybe_windowed(b: sparse.csr_matrix, k_hint: int, dtype=None):
+    """Calibration-gated windowed-BSR choice for a banded matrix beyond the
+    VMEM residency bound: returns a :class:`WindowedBsr` when the windowed
+    kernel is calibrated, the structure is banded enough, and its time model
+    beats BOTH alternatives available in that regime — the gather floor and
+    the per-tile streaming kernel; None otherwise. Callers check this BEFORE
+    dispatching on :func:`preferred_format`'s ell/bsr verdict."""
+    import arrow_matrix_tpu.ops.bsr_pallas as _bp
+    import arrow_matrix_tpu.ops.tiling as _tiling
+    from arrow_matrix_tpu.ops.bsr_pallas import (
+        tile_density_stats,
+        windowed_bsr_from_csr,
+        windowed_tile_fraction,
+    )
+    from arrow_matrix_tpu.ops.tiling import vmem_resident_bytes
+
+    if _bp.BSR_WINDOW_NS_PER_TILE is None:
+        return None
+    if (
+        vmem_resident_bytes(b.shape[1], min(k_hint, 128))
+        <= _tiling.DEFAULT_VMEM_BUDGET
+    ):
+        return None  # the resident kernel is available; let the model pick
+    if windowed_tile_fraction(b) < 0.8:
+        return None
+    occ, nnz, _ = tile_density_stats(b)
+    win_ns = occ * _bp.BSR_WINDOW_NS_PER_TILE
+    ell_ns = nnz * 1.25 * 2.2
+    stream_ns = (
+        occ * _bp.BSR_STREAM_NS_PER_TILE
+        if _bp.BSR_STREAM_NS_PER_TILE is not None
+        else float("inf")
+    )
+    if win_ns < min(ell_ns, stream_ns):
+        import numpy as np
+
+        return windowed_bsr_from_csr(b, dtype=dtype or np.float32)
+    return None
+
+
 def build_block_format(
     b: sparse.csr_matrix, k_hint: int, packed_slots_cap: int | None = None
 ):
-    """Per-block format choice: None (empty), BSR (dense-ish tiles), or the
+    """Per-block format choice: None (empty), BSR (dense-ish tiles),
+    windowed BSR (banded beyond residency, once calibrated), or the
     cheapest gather layout by estimated gathered rows — full-identity ELL,
     row-compressed :class:`CompactEll`, or chunk-packed :class:`PackedEll`
     for the light rows (optionally summed with a compact part for the heavy
@@ -67,6 +108,9 @@ def build_block_format(
     """
     if b.nnz == 0:
         return None
+    wm = maybe_windowed(b, k_hint)
+    if wm is not None:
+        return wm
     if preferred_format(b, k_hint) == "bsr":
         return bsr_from_csr(b)
     full, compact = ell_cost_rows(b)

@@ -309,32 +309,19 @@ def _choose_format(Bt, k_hint, slots_per_row, force_format, dtype=np.float32):
     v5e: bf16 payloads do NOT speed up the dense regimes (the MXU's
     HIGHEST-precision passes dominate, not the tile stream), so bf16 stays
     strictly opt-in."""
-    import arrow_matrix_tpu.ops.bsr_pallas as _bp
-    import arrow_matrix_tpu.ops.tiling as _tiling
-    from arrow_matrix_tpu.ops.bsr_pallas import (
-        windowed_bsr_from_csr,
-        windowed_tile_fraction,
-    )
-    from arrow_matrix_tpu.ops.tiling import vmem_resident_bytes
+    from arrow_matrix_tpu.ops.bsr_pallas import windowed_bsr_from_csr
+    from arrow_matrix_tpu.ops.dispatch import maybe_windowed
 
     if force_format == "window":
         return "window", windowed_bsr_from_csr(Bt, dtype=dtype), None
+    if force_format is None:
+        # Calibrated windowed kernel beats both the gather floor and the
+        # streaming kernel on banded operators beyond VMEM residency
+        # (gate in ops.dispatch.maybe_windowed).
+        wm = maybe_windowed(Bt, k_hint, dtype=dtype)
+        if wm is not None:
+            return "window", wm, None
     fmt = force_format or preferred_format(Bt, k_hint)
-    if (
-        force_format is None
-        and _bp.BSR_WINDOW_NS_PER_TILE is not None
-        and vmem_resident_bytes(Bt.shape[1], min(k_hint, 128))
-        > _tiling.DEFAULT_VMEM_BUDGET
-        and windowed_tile_fraction(Bt) >= 0.8
-    ):
-        # Calibrated windowed kernel beats per-tile streaming on banded
-        # operators beyond VMEM residency; compare against the chosen
-        # alternative by the same time model preferred_format uses.
-        occ, nnz, _ = tile_density_stats(Bt)
-        win_ns = occ * _bp.BSR_WINDOW_NS_PER_TILE
-        alt_ns = nnz * 1.25 * 2.2  # the merged-ELL cost floor
-        if win_ns < alt_ns:
-            return "window", windowed_bsr_from_csr(Bt, dtype=dtype), None
     if fmt == "ell" and force_format is None:
         # Mixed structure: peel dense tiles onto the MXU when they hold a
         # meaningful share of the nonzeros.
