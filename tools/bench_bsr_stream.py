@@ -117,10 +117,10 @@ if PHASE in ("b", "both"):
         bsr_spmm_window, windowed_bsr_from_csr, windowed_tile_fraction,
     )
 
-    for W in (32, 64):
-        wm = windowed_bsr_from_csr(Bt, window_tiles=W)
+    for W, dty in ((32, np.float32), (64, np.float32), (64, jnp.bfloat16)):
+        wm = windowed_bsr_from_csr(Bt, window_tiles=W, dtype=dty)
         res_t = wm.residual.n_tiles if wm.residual is not None else 0
-        print(f"windowed W={W}: in-window frac "
+        print(f"windowed W={W} dtype={np.dtype(dty).name}: in-window frac "
               f"{windowed_tile_fraction(Bt, W):.3f}, "
               f"{wm.inner.n_tiles} tiles + {res_t} residual", flush=True)
         wm_d = jax.device_put(wm)
