@@ -77,17 +77,33 @@ def maybe_windowed(b: sparse.csr_matrix, k_hint: int, dtype=None):
     if windowed_tile_fraction(b) < 0.8:
         return None
     occ, nnz, _ = tile_density_stats(b)
-    win_ns = occ * _bp.BSR_WINDOW_NS_PER_TILE
     ell_ns = nnz * 1.25 * 2.2
-    stream_ns = (
-        occ * _bp.BSR_STREAM_NS_PER_TILE
+    # Residual tiles always run on the streaming kernel inside
+    # bsr_spmm_window; estimate its rate pre-calibration. As a selectable
+    # ALTERNATIVE the stream kernel only competes once calibrated.
+    stream_tile_ns = (
+        _bp.BSR_STREAM_NS_PER_TILE
         if _bp.BSR_STREAM_NS_PER_TILE is not None
-        else float("inf")
+        else 4.0 * _bp.BSR_WINDOW_NS_PER_TILE
     )
-    if win_ns < min(ell_ns, stream_ns):
-        import numpy as np
+    alt_ns = ell_ns
+    if _bp.BSR_STREAM_NS_PER_TILE is not None:
+        alt_ns = min(alt_ns, occ * _bp.BSR_STREAM_NS_PER_TILE)
+    if occ * _bp.BSR_WINDOW_NS_PER_TILE >= alt_ns:
+        return None
+    import numpy as np
 
-        return windowed_bsr_from_csr(b, dtype=dtype or np.float32)
+    wm = windowed_bsr_from_csr(b, dtype=dtype or np.float32)
+    # Decide on the BUILT result: in-window tiles at the windowed rate,
+    # residual tiles at the streaming rate (the builder's nnz-median window
+    # choice can differ from the probe's tile-median estimate).
+    res_t = wm.residual.n_tiles if wm.residual is not None else 0
+    win_ns = (
+        wm.inner.n_tiles * _bp.BSR_WINDOW_NS_PER_TILE
+        + res_t * stream_tile_ns
+    )
+    if win_ns < alt_ns:
+        return wm
     return None
 
 
