@@ -450,29 +450,18 @@ def windowed_tile_fraction(
     tile_m: int = 128,
     tile_n: int = 128,
 ) -> float:
-    """Fraction of occupied tiles that fit their row's aligned window — the
-    cost model's feasibility probe for :class:`WindowedBsr` (host-side,
-    cheap: one pass over unique tiles)."""
+    """Fraction of nonzeros whose tile fits its row's aligned window (the
+    same nnz-median window choice :func:`windowed_bsr_from_csr` makes) —
+    the cost model's cheap feasibility probe for :class:`WindowedBsr`."""
     coo = A.tocoo()
     if coo.nnz == 0:
         return 1.0
-    n_col_tiles = max(1, -(-A.shape[1] // tile_n))
     n_row_tiles = max(1, -(-A.shape[0] // tile_m))
+    win = _row_windows(coo, tile_m, tile_n, window_tiles, n_row_tiles)
     trow = (coo.row // tile_m).astype(np.int64)
     tcol = (coo.col // tile_n).astype(np.int64)
-    uniq = np.unique(trow * n_col_tiles + tcol)
-    ur, uc = uniq // n_col_tiles, uniq % n_col_tiles
-    # Reconstruct per-row medians from unique tiles' nnz? The window choice
-    # uses nnz-weighted medians; approximate feasibility with tile medians.
-    win = np.zeros(n_row_tiles, dtype=np.int64)
-    starts = np.searchsorted(ur, np.arange(n_row_tiles), side="left")
-    ends = np.searchsorted(ur, np.arange(n_row_tiles), side="right")
-    occ = ends > starts
-    med = np.zeros(n_row_tiles, dtype=np.int64)
-    med[occ] = uc[(starts + (ends - starts) // 2).clip(max=uc.size - 1)][occ]
-    win[occ] = med[occ] // window_tiles
-    w = win[ur]
-    ok = (uc >= w * window_tiles) & (uc < (w + 1) * window_tiles)
+    w = win[trow]
+    ok = (tcol >= w * window_tiles) & (tcol < (w + 1) * window_tiles)
     return float(ok.mean())
 
 
