@@ -155,6 +155,26 @@ def test_calibrated_auto_selection(monkeypatch):
     np.testing.assert_allclose(y, _golden(A, plan, x), rtol=1e-4, atol=1e-4)
 
 
+def test_stream_vs_window_competition(monkeypatch):
+    """maybe_windowed defers to the streaming kernel when its calibrated
+    rate is better, and skips entirely when residency is feasible."""
+    import arrow_matrix_tpu.ops.bsr_pallas as bp
+    import arrow_matrix_tpu.ops.tiling as tiling
+    from arrow_matrix_tpu.ops.dispatch import maybe_windowed
+
+    A = banded_random(3000, 60, 0.3, seed=8)
+    monkeypatch.setattr(tiling, "DEFAULT_VMEM_BUDGET", 1 << 18)
+    monkeypatch.setattr(bp, "BSR_WINDOW_NS_PER_TILE", 100.0)
+    monkeypatch.setattr(bp, "BSR_STREAM_NS_PER_TILE", 50.0)
+    assert maybe_windowed(A, 16) is None  # stream wins
+    monkeypatch.setattr(bp, "BSR_STREAM_NS_PER_TILE", 500.0)
+    assert maybe_windowed(A, 16) is not None  # window wins
+    monkeypatch.setattr(tiling, "DEFAULT_VMEM_BUDGET", 8 << 20)
+    assert maybe_windowed(A, 16) is None  # resident kernel available
+    monkeypatch.setattr(bp, "BSR_WINDOW_NS_PER_TILE", None)
+    assert maybe_windowed(A, 16) is None  # uncalibrated
+
+
 def test_grid_merged_operator():
     """The target structure: RCM-refined merged grid operator."""
     from arrow_matrix_tpu.decomposition import arrow_decomposition
