@@ -526,22 +526,15 @@ def bsr_spmm_window(
     return out
 
 
-def stack_bsr_from_csr(
-    blocks: list[sparse.csr_matrix],
-    tile_m: int = 128,
-    tile_n: int = 128,
-    dtype=np.float32,
-    tiles_per_program: int = 8,
-) -> BsrMat:
-    """Build a (q, ...)-stacked BsrMat from CSR blocks with a COMMON static
-    tile count (padding tiles are all-zero and repeat a sorted row id), for
-    per-device execution under shard_map."""
-    mats = [
-        bsr_from_csr(b, tile_m, tile_n, dtype, tiles_per_program) for b in blocks
-    ]
+def _pad_stack_bsr(mats: list[BsrMat], dtype=np.float32) -> BsrMat:
+    """Stack per-device BsrMats with a COMMON static tile count (padding
+    tiles are all-zero and repeat a sorted row id), for per-device execution
+    under shard_map. Returns the stacked mat plus per-mat program padding
+    preserved in prog_rows."""
+    tile_m, tile_n = mats[0].tile_m, mats[0].tile_n
+    TB = mats[0].tiles_per_program
     T = max(m.n_tiles for m in mats)
-    P = T // tiles_per_program
-
+    P = T // TB
     n_row_tiles = max(m.n_row_tiles for m in mats)
 
     def pad_mat(m: BsrMat):
@@ -569,7 +562,75 @@ def stack_bsr_from_csr(
         tile_n=tile_n,
         n_row_tiles=n_row_tiles,
         n_col_tiles=max(m.n_col_tiles for m in mats),
-        tiles_per_program=tiles_per_program,
+        tiles_per_program=TB,
+    )
+
+
+def stack_bsr_from_csr(
+    blocks: list[sparse.csr_matrix],
+    tile_m: int = 128,
+    tile_n: int = 128,
+    dtype=np.float32,
+    tiles_per_program: int = 8,
+) -> BsrMat:
+    """Build a (q, ...)-stacked BsrMat from CSR blocks with a COMMON static
+    tile count, for per-device execution under shard_map."""
+    mats = [
+        bsr_from_csr(b, tile_m, tile_n, dtype, tiles_per_program) for b in blocks
+    ]
+    return _pad_stack_bsr(mats, dtype)
+
+
+def stack_windowed_from_csr(
+    blocks: list[sparse.csr_matrix],
+    window_tiles: int = 64,
+    tile_m: int = 128,
+    tile_n: int = 128,
+    dtype=np.float32,
+    tiles_per_program: int = 8,
+) -> WindowedBsr:
+    """Build a (q, ...)-stacked :class:`WindowedBsr` from CSR blocks with
+    COMMON static shapes (inner/residual tile counts, window count), for
+    per-device execution under shard_map — the no-residency banded kernel at
+    production block widths. Residual is kept unless EVERY block's tiles fit
+    their windows (an all-zero stacked residual would still stream)."""
+    wms = [
+        windowed_bsr_from_csr(
+            b, window_tiles, tile_m, tile_n, dtype, tiles_per_program
+        )
+        for b in blocks
+    ]
+    inner = _pad_stack_bsr([w.inner for w in wms], dtype)
+    n_windows = max(w.n_windows for w in wms)
+    P = inner.prog_rows.shape[1]
+
+    def pad_win(w: WindowedBsr):
+        pw = np.asarray(w.prog_win)
+        out = np.full(P, pw[-1] if pw.size else 0, dtype=np.int32)
+        out[: pw.size] = pw
+        return out
+
+    prog_win = jnp.asarray(np.stack([pad_win(w) for w in wms]))
+    residual = None
+    if any(w.residual is not None for w in wms):
+        empty = sparse.csr_matrix(
+            (inner.n_rows, inner.n_cols), dtype=np.float32
+        )
+        residual = _pad_stack_bsr(
+            [
+                w.residual
+                if w.residual is not None
+                else bsr_from_csr(empty, tile_m, tile_n, dtype, tiles_per_program)
+                for w in wms
+            ],
+            dtype,
+        )
+    return WindowedBsr(
+        inner=inner,
+        prog_win=prog_win,
+        residual=residual,
+        window_tiles=window_tiles,
+        n_windows=n_windows,
     )
 
 

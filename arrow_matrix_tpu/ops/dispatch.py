@@ -107,6 +107,53 @@ def maybe_windowed(b: sparse.csr_matrix, k_hint: int, dtype=None):
     return None
 
 
+def stacked_windowed_or_none(blocks, k_hint: int, dtype=None):
+    """Calibration-gated stacked :class:`WindowedBsr` choice for a ROLE's
+    per-device blocks (identical static programs under shard_map): the
+    per-block analogue of :func:`maybe_windowed`, decided on the row-stacked
+    aggregate (each block's rows are separate tile rows, so bandedness and
+    the window fraction are preserved). Fires only beyond the VMEM residency
+    bound — production block widths (reference decompose default 5M,
+    scripts/decomposition_main.py:123) on banded families."""
+    import arrow_matrix_tpu.ops.bsr_pallas as _bp
+    import arrow_matrix_tpu.ops.tiling as _tiling
+    from arrow_matrix_tpu.ops.bsr_pallas import (
+        stack_windowed_from_csr,
+        tile_density_stats,
+        windowed_tile_fraction,
+    )
+    from arrow_matrix_tpu.ops.tiling import vmem_resident_bytes
+
+    if _bp.BSR_WINDOW_NS_PER_TILE is None:
+        return None
+    agg = sparse.vstack([b.tocsr() for b in blocks]).tocsr()
+    if (
+        vmem_resident_bytes(agg.shape[1], min(k_hint, 128))
+        <= _tiling.DEFAULT_VMEM_BUDGET
+    ):
+        return None
+    frac = windowed_tile_fraction(agg)
+    if frac < 0.8:
+        return None
+    occ, nnz, _ = tile_density_stats(agg)
+    stream_tile_ns = (
+        _bp.BSR_STREAM_NS_PER_TILE
+        if _bp.BSR_STREAM_NS_PER_TILE is not None
+        else 4.0 * _bp.BSR_WINDOW_NS_PER_TILE
+    )
+    win_ns = occ * (
+        frac * _bp.BSR_WINDOW_NS_PER_TILE + (1.0 - frac) * stream_tile_ns
+    )
+    alt_ns = nnz * 1.25 * 2.2
+    if _bp.BSR_STREAM_NS_PER_TILE is not None:
+        alt_ns = min(alt_ns, occ * _bp.BSR_STREAM_NS_PER_TILE)
+    if win_ns >= alt_ns:
+        return None
+    import numpy as np
+
+    return stack_windowed_from_csr(blocks, dtype=dtype or np.float32)
+
+
 def build_block_format(
     b: sparse.csr_matrix, k_hint: int, packed_slots_cap: int | None = None
 ):
@@ -154,6 +201,12 @@ def build_block_format(
 
 def local_slice(m):
     """Strip the per-device leading axis of size 1 inside shard_map."""
+    if isinstance(m, WindowedBsr):
+        return m.replace(
+            inner=local_slice(m.inner),
+            prog_win=m.prog_win[0],
+            residual=local_slice(m.residual) if m.residual is not None else None,
+        )
     if isinstance(m, BsrMat):
         return m.replace(
             tiles_data=m.tiles_data[0],
@@ -172,6 +225,12 @@ def local_slice(m):
 
 def take_block(m, j: int):
     """Block j's slice of a (q, ...)-stacked matrix."""
+    if isinstance(m, WindowedBsr):
+        return m.replace(
+            inner=take_block(m.inner, j),
+            prog_win=m.prog_win[j],
+            residual=take_block(m.residual, j) if m.residual is not None else None,
+        )
     if isinstance(m, BsrMat):
         return m.replace(
             tiles_data=m.tiles_data[j],

@@ -404,10 +404,20 @@ def compile_plan(
 
     def build_role(blocks):
         # One static format per role (identical per-device programs under
-        # shard_map): Pallas BSR for dense-enough roles, else the cheaper of
-        # full-identity and row-compressed ELL by the stacked (max-block)
-        # gathered-row cost — sparse deep-level roles would otherwise pay
-        # width x R slots per device.
+        # shard_map): Pallas BSR for dense-enough roles, windowed BSR for
+        # banded roles beyond VMEM residency (production block widths, once
+        # calibrated), else the cheaper of full-identity and row-compressed
+        # ELL by the stacked (max-block) gathered-row cost — sparse
+        # deep-level roles would otherwise pay width x R slots per device.
+        from arrow_matrix_tpu.ops.bsr_pallas import stack_windowed_from_csr
+        from arrow_matrix_tpu.ops.dispatch import stacked_windowed_or_none
+
+        if force_format == "window":
+            return stack_windowed_from_csr(blocks)
+        if force_format is None:
+            wm = stacked_windowed_or_none(blocks, k_hint)
+            if wm is not None:
+                return wm
         fmt = force_format or preferred_format_blocks(blocks, k_hint)
         if fmt == "bsr":
             return stack_bsr_from_csr(blocks)

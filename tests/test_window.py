@@ -175,6 +175,43 @@ def test_stream_vs_window_competition(monkeypatch):
     assert maybe_windowed(A, 16) is None  # uncalibrated
 
 
+def test_distributed_windowed_roles():
+    """A distributed plan with force_format='window' (stacked WindowedBsr
+    roles under shard_map) matches the scipy golden over 4 devices."""
+    from arrow_matrix_tpu.io.generate import random_dense
+    from arrow_matrix_tpu.parallel import ArrowSpmm, block_mesh
+    from arrow_matrix_tpu.plan import compile_plan
+
+    width, q = 256, 4
+    n = width * q
+    rng = np.random.default_rng(11)
+    # Block-diagonal arrow structure: head panels + banded diagonal blocks.
+    dense = np.zeros((n, n), dtype=np.float32)
+    dense[:width, :] = rng.random((width, n)) * (rng.random((width, n)) < 0.02)
+    dense[:, :width] = rng.random((n, width)) * (rng.random((n, width)) < 0.02)
+    for b in range(q):
+        s = b * width
+        blk = rng.random((width, width))
+        mask = np.abs(np.arange(width)[:, None] - np.arange(width)[None, :]) < 40
+        dense[s : s + width, s : s + width] += blk * mask * (blk < 0.3)
+    A = sparse.csr_matrix(dense)
+    decomp = [(A, np.arange(n))]
+
+    plan = compile_plan(decomp, width, q, force_format="window")
+    from arrow_matrix_tpu.ops.bsr_pallas import WindowedBsr
+
+    assert isinstance(plan.levels[0].diag, WindowedBsr)
+    runner = ArrowSpmm(plan, block_mesh(q))
+    X = random_dense(n, 16, seed=5)
+    x = runner.distribute(X)
+    ref = X.copy()
+    for _ in range(2):
+        x = runner.step(x)
+        ref = A @ ref
+    got = runner.collect(x)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_grid_merged_operator():
     """The target structure: RCM-refined merged grid operator."""
     from arrow_matrix_tpu.decomposition import arrow_decomposition
