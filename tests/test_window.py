@@ -8,7 +8,6 @@ matrices, and through the dispatch layer.
 """
 
 import numpy as np
-import pytest
 from scipy import sparse
 
 import jax.numpy as jnp
