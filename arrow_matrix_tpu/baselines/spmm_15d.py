@@ -70,30 +70,8 @@ def _pad_csr(A: sparse.csr_matrix, rows: int, cols: int) -> sparse.csr_matrix:
     return out
 
 
-def _materialize_row_stripe(
-    triplet: tuple, row_start: int, n_rows: int, n_cols_pad: int
-) -> sparse.csr_matrix:
-    """Materialize rows [row_start, row_start + n_rows) of a (possibly
-    memory-mapped) CSR triplet as a (n_rows, n_cols_pad) csr_matrix; rows
-    beyond the matrix are empty."""
-    data_mm, indices_mm, indptr_mm = triplet
-    n = indptr_mm.shape[0] - 1
-    stop = min(row_start + n_rows, n)
-    real = max(stop - row_start, 0)
-    indptr = np.zeros(n_rows + 1, dtype=np.int64)
-    if real > 0:
-        seg = np.asarray(indptr_mm[row_start : stop + 1], dtype=np.int64)
-        lo, hi = int(seg[0]), int(seg[-1])
-        indptr[: real + 1] = seg - lo
-        indptr[real + 1 :] = hi - lo
-        data = np.asarray(data_mm[lo:hi], dtype=np.float32)
-        indices = np.asarray(indices_mm[lo:hi])
-    else:
-        data = np.zeros(0, dtype=np.float32)
-        indices = np.zeros(0, dtype=np.int64)
-    return sparse.csr_matrix(
-        (data, indices, indptr), shape=(n_rows, n_cols_pad)
-    )
+# Memory-mapped stripe slicing is shared with out-of-core plan compilation.
+from arrow_matrix_tpu.io.graphio import load_row_stripe as _materialize_row_stripe
 
 
 class Spmm15D:

@@ -36,8 +36,16 @@ def _build():
             capture_output=True,
             timeout=120,
         )
-    except Exception:
-        pass
+    except Exception as e:  # noqa: BLE001 — fall back, but say why
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "native decomposition core build failed (%s); falling back to "
+            "the 4-10x slower numpy pipeline. Build manually with "
+            "`make -C %s`.",
+            e,
+            src_dir,
+        )
 
 
 def _load():

@@ -97,6 +97,27 @@ def _level_path(
     return matches[0] if len(matches) == 1 else None
 
 
+def _require_level_path(
+    filename: str,
+    width: Optional[int],
+    index: int,
+    block_diagonal: bool,
+    file_type: DecompositionFileType,
+) -> str:
+    """As :func:`_level_path`, but raise a clear error instead of returning
+    None when a level's companion file is missing or matches several widths
+    (passing None to np.load would surface as an opaque TypeError)."""
+    path = _level_path(filename, width, index, block_diagonal, file_type)
+    if path is None:
+        raise FileNotFoundError(
+            f"decomposition '{filename}' (width {width}): level {index}'s "
+            f"{file_type.name} file is missing or ambiguous "
+            f"(expected {format_path(filename, width, index, block_diagonal, file_type)} "
+            "or a unique match under another width)"
+        )
+    return path
+
+
 def _expected_levels(
     filename: str, width: Optional[int], block_diagonal: bool
 ) -> Optional[int]:
@@ -251,12 +272,14 @@ def load_decomposition(
     decomposition = []
     for i in range(decomposition_size(filename, width, block_diagonal)):
         B = sparse.load_npz(
-            _level_path(filename, width, i, block_diagonal, DecompositionFileType.npz)
+            _require_level_path(
+                filename, width, i, block_diagonal, DecompositionFileType.npz
+            )
         )
         permutation = None
         if not no_permutation:
             permutation = np.load(
-                _level_path(
+                _require_level_path(
                     filename,
                     width,
                     i,
@@ -295,7 +318,7 @@ def load_decomposition_new(
             break
         indptr = _load(indptr_path)
         indices = _load(
-            _level_path(
+            _require_level_path(
                 filename, width, i, block_diagonal, DecompositionFileType.indices_npy
             )
         )
@@ -315,7 +338,7 @@ def load_decomposition_new(
         permutation = None
         if not no_permutation:
             permutation = np.load(
-                _level_path(
+                _require_level_path(
                     filename,
                     width,
                     i,

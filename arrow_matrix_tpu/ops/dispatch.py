@@ -15,8 +15,6 @@ import jax.numpy as jnp
 from scipy import sparse
 
 from arrow_matrix_tpu.ops.bsr_pallas import (
-    BSR_NS_PER_TILE,
-    BSR_STREAM_NS_PER_TILE,
     BsrMat,
     WindowedBsr,
     bsr_from_csr,
@@ -268,14 +266,19 @@ def bsr_apply(
         n_pad, k, needs_vmem_residency=True, vmem_budget=vmem_budget
     )
     if stream is None:
+        # Read the calibration constants LIVE off the module (the same
+        # late-bound convention preferred_format/maybe_windowed use), so
+        # runtime calibration keeps format choice and execution mode in sync.
+        import arrow_matrix_tpu.ops.bsr_pallas as _bp
+
         infeasible = vmem_resident_bytes(n_pad, min(k, k_t)) > vmem_budget
-        if BSR_STREAM_NS_PER_TILE is None:
+        if _bp.BSR_STREAM_NS_PER_TILE is None:
             stream = False
         elif infeasible:
             stream = True
         else:
             n_k_tiles = -(-k // k_t)
-            stream = BSR_STREAM_NS_PER_TILE < BSR_NS_PER_TILE * n_k_tiles
+            stream = _bp.BSR_STREAM_NS_PER_TILE < _bp.BSR_NS_PER_TILE * n_k_tiles
 
     def pad_rows(xt: jnp.ndarray) -> jnp.ndarray:
         pad = n_pad - xt.shape[0]

@@ -212,7 +212,8 @@ def compile_blocked_plan(
     n = as_csr(decomposition[0][0]).shape[0]
     q = n_blocks or max(1, -(-n // width))
     raw_levels, padded_perms, n = extract_levels(
-        decomposition, width, q, block_diagonal, routing_pad_multiple
+        decomposition, width, q, block_diagonal, routing_pad_multiple,
+        routes=("classic",),
     )
     if windowed is None:
         windowed = q * width * k_hint * 4 > WINDOWED_THRESHOLD_BYTES

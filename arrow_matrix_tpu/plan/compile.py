@@ -193,6 +193,7 @@ def extract_levels(
     n_devices: int,
     block_diagonal: bool = True,
     routing_pad_multiple: int = 8,
+    routes: tuple = ("classic", "sharded"),
 ) -> tuple[list, tuple, int]:
     """Cut every level of a decomposition into arrow blocks and build the
     inter-level routing tables — the format-independent part of plan
@@ -345,21 +346,25 @@ def extract_levels(
         route = None
         route_sharded = None
         if i > 0:
+            # Each table build is an O(n log n) lexsort; build only the
+            # variant(s) the caller's executor consumes.
             dst_to_src = inv_perm0[padded_perms[i]]
-            route = build_route_tables(
-                dst_to_src,
-                width,
-                q,
-                cut=q_i * width,
-                pad_multiple=routing_pad_multiple,
-            )
-            route_sharded = build_sharded_route_tables(
-                dst_to_src,
-                width,
-                q,
-                cut=q_i * width,
-                pad_multiple=routing_pad_multiple,
-            )
+            if "classic" in routes:
+                route = build_route_tables(
+                    dst_to_src,
+                    width,
+                    q,
+                    cut=q_i * width,
+                    pad_multiple=routing_pad_multiple,
+                )
+            if "sharded" in routes:
+                route_sharded = build_sharded_route_tables(
+                    dst_to_src,
+                    width,
+                    q,
+                    cut=q_i * width,
+                    pad_multiple=routing_pad_multiple,
+                )
 
         banded = not block_diagonal
         levels.append(
@@ -399,7 +404,8 @@ def compile_plan(
         devices.
     """
     raw_levels, padded_perms, n = extract_levels(
-        decomposition, width, n_devices, block_diagonal, routing_pad_multiple
+        decomposition, width, n_devices, block_diagonal, routing_pad_multiple,
+        routes=("sharded",),
     )
 
     def build_role(blocks):

@@ -125,11 +125,21 @@ def finish(log_dir: str = "./logs") -> Optional[str]:
     if _current:
         _buffer.append(_current)
         _current = {}
-    if not _buffer and not _config:
+    try:
+        import jax
+
+        multiproc = jax.process_count() > 1
+    except Exception:
+        multiproc = False
+    # The gather is a COLLECTIVE: every process must enter it even with an
+    # empty buffer, or peers with data deadlock inside process_allgather.
+    if not multiproc and not _buffer and not _config:
         return None
 
     per_process = _gather_process_logs(_buffer)
     _buffer = []
+    if not any(per_process) and not _config:
+        return None
     try:
         import jax
 

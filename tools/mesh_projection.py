@@ -48,8 +48,16 @@ print(f"{GRAPH} n={n} nnz={nnz_A} k={K}", flush=True)
 
 def role_ns_per_device(m):
     """(q,) compute-ns of one stacked role."""
+    from arrow_matrix_tpu.ops.bsr_pallas import WindowedBsr
+
     if m is None:
         return 0.0
+    if isinstance(m, WindowedBsr):
+        # In-window tiles at the BSR rate; residual tiles stream at ~2x.
+        ns = role_ns_per_device(m.inner)
+        if m.residual is not None:
+            ns = ns + 2.0 * role_ns_per_device(m.residual)
+        return ns
     if isinstance(m, BsrMat):
         # Real tiles per device: stored tiles with any nonzero payload.
         data = np.asarray(m.tiles_data)
