@@ -128,6 +128,8 @@ def main():
             refine=args.refine,
         )
         executor = "region" if isinstance(plan, RegionPlan) else "merged"
+        if not isinstance(plan, RegionPlan):
+            executor = f"merged/{plan.levels[0].fmt}"
         x0 = rng.random((plan.padded_rows, args.features), dtype=np.float32)
         results["local"] = time_step(plan, step_fn, x0)
     if args.mode in ("blocked", "both"):

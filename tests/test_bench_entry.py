@@ -30,7 +30,7 @@ def test_bench_main_emits_one_json_line(monkeypatch):
     out = json.loads(lines[-1])
     assert out["metric"] == "arrow_spmm_nnz_per_s_per_chip"
     assert out["value"] > 0 and out["unit"] == "nnz/s"
-    assert out["executor"] in ("merged", "region")
+    assert out["executor"] == "region" or out["executor"].startswith("merged")
     assert out["arrow_spmm_distributed_nnz_per_s"] > 0
     cv = out["comm_volume"]
     # qv bumps up to ceil(n/width) when 4 devices can't cover the rows.
