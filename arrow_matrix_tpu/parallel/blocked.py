@@ -211,16 +211,20 @@ def compile_blocked_plan(
 
     n = as_csr(decomposition[0][0]).shape[0]
     q = n_blocks or max(1, -(-n // width))
+    # The blocked executor routes by direct gathers, not pairwise exchange:
+    # it needs only the dst->src map (computable from the permutations), so
+    # skip the O(N log N) pairwise route-table builds entirely.
     raw_levels, padded_perms, n = extract_levels(
         decomposition, width, q, block_diagonal, routing_pad_multiple,
-        routes=("classic",),
+        routes=(),
     )
+    inv_perm0 = np.argsort(padded_perms[0])
     if windowed is None:
         windowed = q * width * k_hint * 4 > WINDOWED_THRESHOLD_BYTES
 
     n_pad = q * width
     levels = []
-    for raw in raw_levels:
+    for i, raw in enumerate(raw_levels):
         q_i = raw.n_active_blocks
         parts, windows = [], []
         for j in range(q_i):
@@ -229,9 +233,9 @@ def compile_blocked_plan(
             windows.append(w_ids)
 
         d2s = s2d = None
-        if raw.route is not None:
-            cut = raw.route.cut
-            d2s_np = np.asarray(raw.route.dst_to_src[:cut], dtype=np.int64)
+        if i > 0:
+            cut = q_i * width
+            d2s_np = inv_perm0[padded_perms[i]][:cut].astype(np.int64)
             s2d_np = np.full(n_pad, cut, dtype=np.int32)  # cut == zero row
             s2d_np[d2s_np] = np.arange(cut, dtype=np.int32)
             d2s = jnp.asarray(d2s_np.astype(np.int32))

@@ -75,7 +75,11 @@ def rcm_refine_merged(
         nz = deg[deg > 0]
         if nz.size and np.percentile(nz, 99.9) > AUTO_SKEW_SKIP * nz.mean():
             return Bt, padded_perms, False
-    sym = (Bt + Bt.T).tocsr()
+    # Symmetrize the PATTERN, not the values: A + A.T cancels antisymmetric
+    # entry pairs (scipy drops the resulting explicit zeros), which would
+    # hand RCM an emptier graph than the structure it must order.
+    absBt = abs(Bt)
+    sym = (absBt + absBt.T).tocsr()
     order = np.asarray(
         reverse_cuthill_mckee(sym, symmetric_mode=True), dtype=np.int64
     )

@@ -214,3 +214,29 @@ def test_auto_skew_pregate_skips_power_law_cheaply():
     # 'always' bypasses both gates and adopts unconditionally.
     _, _, applied = rcm_refine_merged(Bt, padded, "always")
     assert applied
+
+
+def test_antisymmetric_values_do_not_cancel_pattern():
+    """RCM must order the PATTERN: A + A.T on antisymmetric values cancels
+    to an empty graph (scipy drops explicit zeros) and RCM would return a
+    meaningless order. Regression for the |values| symmetrization."""
+    from scipy import sparse
+
+    n = 1024
+    rng = np.random.default_rng(7)
+    # Banded antisymmetric matrix under a scrambling permutation.
+    i = np.arange(n - 1)
+    upper = sparse.csr_matrix(
+        (rng.random(n - 1) + 0.5, (i, i + 1)), shape=(n, n)
+    )
+    band = (upper - upper.T).tocsr()  # A[i,j] = -A[j,i] exactly
+    scramble = rng.permutation(n)
+    Bt = band[scramble][:, scramble].tocsr()
+    padded = [np.arange(n)]
+    Bt2, _, applied = rcm_refine_merged(Bt, padded, "always")
+    assert applied
+    occ_before, _, _ = tile_density_stats(Bt)
+    occ_after, _, _ = tile_density_stats(Bt2)
+    # A correct pattern-RCM recovers near-tridiagonal order (few occupied
+    # tiles); cancellation would leave the scrambled layout untouched.
+    assert occ_after < occ_before // 2, (occ_before, occ_after)
