@@ -26,6 +26,7 @@ from arrow_matrix_tpu.io.generate import barabasi_albert, grid_graph
 from arrow_matrix_tpu.ops.bsr_pallas import BsrMat
 from arrow_matrix_tpu.plan import compile_plan
 from arrow_matrix_tpu.plan.comm import arrow_comm_volume
+from arrow_matrix_tpu.plan.memory import arrow_hbm_footprint
 
 ELL_NS_PER_SLOT = 2.2
 BSR_NS_PER_TILE = 85.0
@@ -88,10 +89,12 @@ for q in QS:
     step_s = max(compute_s, wire_s)
     total_work_s = per_dev.sum() * 1e-9
     eff = total_work_s / (q * step_s)
+    fp = arrow_hbm_footprint(plan, K)
     print(
         f"q={q:3d} width={width:8d} levels={len(plan.levels)} "
         f"compute={compute_s*1e3:7.3f} ms wire={wire_s*1e3:7.3f} ms "
         f"step={step_s*1e3:7.3f} ms nnz/s={nnz_A/step_s/1e6:8.1f} M "
-        f"parallel_eff={eff:.2f}",
+        f"parallel_eff={eff:.2f} hbm/dev={fp['total_bytes']/2**20:7.1f} MiB"
+        f"{'' if fp['fits_v5e'] else ' (OVER v5e BUDGET)'}",
         flush=True,
     )
