@@ -90,7 +90,11 @@ def _zero_pad_rows(x: jnp.ndarray) -> jnp.ndarray:
 def _apply_block(m, x: jnp.ndarray, width: int) -> jnp.ndarray:
     """Multiply one (width x width-ish) block by (width, k) features,
     dispatching to the gather-ELL, compact-ELL or (k-tiled) Pallas BSR
-    kernel."""
+    kernel. bf16 iteration state upcasts here — per-block (width, k)
+    transients ride f32 while the resident state, the all_gathered replica
+    and the routing wire stay half-width."""
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
     return apply_mat(local_slice(m), x, width)
 
 
@@ -118,7 +122,10 @@ def _level_spmm(
     x_head = jnp.where(j == 0, x0_full[:width], x_loc)
     head_partial = _apply_block(lvl.head, x_head, width)  # A_0j @ X_j
     hp = jnp.concatenate(
-        [head_partial, jnp.zeros((w0 - width, x_loc.shape[1]), x_loc.dtype)],
+        [
+            head_partial,
+            jnp.zeros((w0 - width, x_loc.shape[1]), head_partial.dtype),
+        ],
         axis=0,
     )
     # Reduce(C_0) -> psum_scatter: the reduced head result lands sharded,
@@ -211,12 +218,18 @@ class ArrowSpmm:
     shard of block 0 followed by its whole block j (zeros on device 0).
     """
 
-    def __init__(self, plan: ArrowPlan, mesh: Mesh):
+    def __init__(self, plan: ArrowPlan, mesh: Mesh, state_dtype=jnp.float32):
+        """:param state_dtype: dtype of the iteration state. ``jnp.bfloat16``
+        halves the resident state, the all_gathered block-0 replica and the
+        routing/collective wire bytes (the HBM capacity lever quantified in
+        plan/memory.py); kernels upcast per block and accumulate in f32, so
+        values round to bf16 once per level per iteration."""
         assert mesh.shape[AXIS] == plan.n_blocks, (
             f"plan compiled for {plan.n_blocks} blocks, mesh has {mesh.shape[AXIS]}"
         )
         self.plan = plan
         self.mesh = mesh
+        self.state_dtype = jnp.dtype(state_dtype)
         self.w_q = -(-plan.width // plan.n_blocks)
         self._plan_specs = _shard_spec(plan)
         self._x_spec = P(AXIS, None)
@@ -253,10 +266,15 @@ class ArrowSpmm:
                 x_i_loc, x_i0_shard = _route_forward(rt, x_loc, x0_full)
                 x_i0_full = lax.all_gather(x_i0_shard, AXIS, tiled=True)
                 ci0_shard, ci_loc = _level_spmm(lvl, x_i_loc, x_i0_full, width, w_q)
-                add0, add_loc = _route_backward(rt, ci_loc, ci0_shard)
+                # Backward routing rides the state dtype (bf16 halves the
+                # wire); each level's contribution rounds once, the
+                # accumulation stays f32.
+                add0, add_loc = _route_backward(
+                    rt, ci_loc.astype(xs.dtype), ci0_shard.astype(xs.dtype)
+                )
                 c0_shard = c0_shard + add0
                 c_loc = c_loc + add_loc
-            return jnp.concatenate([c0_shard, c_loc], axis=0)
+            return jnp.concatenate([c0_shard, c_loc], axis=0).astype(xs.dtype)
 
         return step_body
 
@@ -416,7 +434,7 @@ class ArrowSpmm:
 
         out = jnp.concatenate(
             [c0_shard.reshape(q, w_q, k), c_loc.reshape(q, w, k)], axis=1
-        ).reshape(q * (w_q + w), k)
+        ).reshape(q * (w_q + w), k).astype(x_sharded.dtype)
         return jax.device_put(out, NamedSharding(self.mesh, self._x_spec))
 
     # ------------------------------------------------------------------ I/O
@@ -455,7 +473,9 @@ class ArrowSpmm:
         single device_put). On multi-host meshes every process must call
         this with the same X; each host places only its addressable
         shards."""
-        state = self._to_state(np.asarray(X, dtype=np.float32))
+        state = self._to_state(np.asarray(X, dtype=np.float32)).astype(
+            self.state_dtype
+        )
         sharding = NamedSharding(self.mesh, self._x_spec)
         if jax.process_count() > 1:
             return jax.make_array_from_callback(
@@ -475,4 +495,4 @@ class ArrowSpmm:
             )
         else:
             state = np.asarray(jax.device_get(x_sharded))
-        return self._from_state(state)
+        return self._from_state(state.astype(np.float32))

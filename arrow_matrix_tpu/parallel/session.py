@@ -73,7 +73,12 @@ class ArrowSession:
         n_devices: Optional[int] = None,
         block_diagonal: bool = True,
         features: int = 16,
+        state_dtype=None,
     ):
+        """:param state_dtype: multi-device iteration-state dtype;
+        ``jnp.bfloat16`` halves per-device state/replica HBM and routing
+        wire bytes (see plan/memory.py) at ~bf16 rounding per level per
+        iteration. Default float32 (exact parity with the reference)."""
         self.width = width
         self.n_devices = n_devices or len(jax.devices())
         self.block_diagonal = block_diagonal
@@ -87,7 +92,11 @@ class ArrowSession:
                 block_diagonal=block_diagonal,
                 k_hint=features,
             )
-            self._runner = ArrowSpmm(self.plan, block_mesh(self.n_devices))
+            self._runner = ArrowSpmm(
+                self.plan,
+                block_mesh(self.n_devices),
+                **({} if state_dtype is None else {"state_dtype": state_dtype}),
+            )
             self._step = self._runner.step
         else:
             self.plan, step_fn = compile_single_chip(
