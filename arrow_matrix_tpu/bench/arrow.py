@@ -42,6 +42,7 @@ def bench_spmm(
     seed: int = 0,
     profile: bool = False,
     mode: str = "auto",
+    state_dtype: str = "float32",
 ) -> dict:
     """Run the iterated arrow SpMM benchmark; returns summary statistics.
 
@@ -59,6 +60,11 @@ def bench_spmm(
         distributed program and the basis for multi-chip projections; the
         merged plan stays ahead single-chip, 241 vs 148M nnz/s at 200k
         vertices). Ignored when n_devices > 1.
+    :param state_dtype: distributed iteration-state dtype ('float32' or
+        'bfloat16'); bfloat16 halves per-device state/replica HBM and the
+        routing wire bytes (plan/memory.py) at ~bf16 rounding per level
+        per iteration. Single-chip executors ignore it (their state is
+        one buffer, not the capacity bottleneck).
     """
     devices = jax.devices()
     n_devices = n_devices or len(devices)
@@ -130,7 +136,9 @@ def bench_spmm(
 
     rng = np.random.default_rng(seed + 1)
     if n_devices > 1:
-        runner = ArrowSpmm(plan, block_mesh(n_devices))
+        runner = ArrowSpmm(
+            plan, block_mesh(n_devices), state_dtype=jnp.dtype(state_dtype)
+        )
         x = runner.distribute(random_dense(plan.n_rows, features, seed=seed + 1))
         # Profile mode: separately jitted phases emitting the reference's
         # span taxonomy (spmm_kernel_time, spmm_x_bcast_time,

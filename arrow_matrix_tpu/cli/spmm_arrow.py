@@ -37,6 +37,10 @@ def main(argv=None):
                    default="auto",
                    help="single-chip executor: merged-levels 'local' vs the "
                         "distributed program's per-block 'blocked' structure")
+    p.add_argument("--state_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="multi-device iteration-state dtype; bfloat16 halves "
+                        "per-device state HBM and routing wire bytes")
     p.add_argument("--log_dir", type=str, default="./logs")
     args = p.parse_args(argv)
 
@@ -54,6 +58,7 @@ def main(argv=None):
         log_dir=args.log_dir,
         profile=args.profile,
         mode=args.mode,
+        state_dtype=args.state_dtype,
     )
     print(json.dumps(stats))
 

@@ -83,3 +83,20 @@ def test_session_state_dtype_passthrough():
     ref = _golden_iterate(A, X, 2)
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, atol=5e-2 * scale)
+
+
+def test_bench_spmm_bf16_state(tmp_path):
+    from arrow_matrix_tpu.bench import bench_spmm
+
+    stats = bench_spmm(
+        width=32,
+        features=8,
+        iterations=2,
+        ba_vertices=128,
+        ba_neighbors=3,
+        n_devices=4,
+        log_dir=str(tmp_path),
+        state_dtype="bfloat16",
+    )
+    assert stats["iterations"] == 2
+    assert stats["nnz_per_s"] > 0
