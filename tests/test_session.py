@@ -230,3 +230,26 @@ def test_gcn_propagation_example():
     ref = reference_model(A, H0, weights)
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 1e-4, rel
+
+
+@pytest.mark.parametrize("n_devices", [1, 8])
+def test_session_banded_decomposition(n_devices):
+    """Banded (non-block-diagonal) decompositions run through both the
+    merged single-chip executor (layout-agnostic level merge) and the
+    distributed runner (ppermute halo)."""
+    A = barabasi_albert(300, 4, seed=5)
+    decomp = arrow_decomposition(
+        A, 43, max_number_of_levels=100, block_diagonal=False, seed=3
+    )
+    session = ArrowSession(
+        decomp, 43, n_devices=n_devices, block_diagonal=False, features=8
+    )
+    X = random_dense(A.shape[0], 8, seed=6)
+    session.set_features(X)
+    ref = X.copy()
+    for _ in range(2):
+        session.step()
+        ref = A @ ref
+    np.testing.assert_allclose(
+        session.allgather_result(), ref, rtol=2e-4, atol=2e-4
+    )
