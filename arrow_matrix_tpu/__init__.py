@@ -21,7 +21,8 @@ Public API (mirrors the reference's import surface):
 
     from arrow_matrix_tpu import arrow_decomposition, ArrowGraph
     from arrow_matrix_tpu.plan import compile_plan
-    from arrow_matrix_tpu.parallel import ArrowChain
+    from arrow_matrix_tpu.parallel import ArrowSpmm, ArrowOperator
+    from arrow_matrix_tpu.parallel.session import ArrowSession
 """
 
 from arrow_matrix_tpu.decomposition import ArrowGraph, arrow_decomposition

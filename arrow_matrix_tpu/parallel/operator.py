@@ -1,0 +1,155 @@
+"""Differentiable arrow SpMM operator (``jax.custom_vjp``).
+
+A capability the MPI reference cannot offer: ``X -> A @ X`` through the
+compiled arrow program as a *differentiable* JAX function, so GNN models
+built on the propagation (GCN/SGC layers, spectral losses, PageRank-style
+fixed points) train end-to-end under ``jax.grad`` — on the same mesh, with
+the backward pass running as another arrow SpMM.
+
+The math: the decomposition gives ``A = sum_i P_i^T B_i P_i`` (the golden
+``compute_spmm`` semantics, decomposition/arrow.py:260), hence
+``A^T = sum_i P_i^T B_i^T P_i`` — the *same permutations* with each level
+transposed, and a transposed arrow matrix is still an arrow matrix (the head
+row/column panels swap, diagonal blocks stay diagonal, the ±1 band maps to
+itself). The VJP of ``x -> A @ x`` is therefore one step of the transpose
+plan **in the same state layout** — gather-only like the forward program
+(the naive autodiff transpose of a gather is a scatter, which serializes on
+TPU; this never materializes one).
+
+Layout safety: the forward map on the padded state is ``F = S A S^T`` with
+``S`` the (orthogonal) pad-and-permute encoding, so ``F^T = S A^T S^T`` is
+exactly the transpose plan's step — including the zeroed padding rows. On
+the single-chip path the transpose plan is built from the *already merged
+and refined* operator (``Bt^T`` under the same composed permutation), so
+RCM refinement composes correctly into both directions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from arrow_matrix_tpu.io.graphio import as_csr
+from arrow_matrix_tpu.parallel.arrow_spmm import ArrowSpmm, block_mesh
+from arrow_matrix_tpu.parallel.local import (
+    local_plan_from_merged,
+    local_step,
+    merge_levels_to_matrix,
+)
+from arrow_matrix_tpu.plan import compile_plan
+from arrow_matrix_tpu.plan.compile import pad_permutation
+from arrow_matrix_tpu.plan.refine import rcm_refine_merged
+
+__all__ = ["ArrowOperator", "transpose_decomposition"]
+
+
+def transpose_decomposition(decomposition):
+    """``[(B_i, p_i)] -> [(B_i^T, p_i)]`` — a decomposition of ``A^T``
+    (still arrow-structured; see module docstring)."""
+    return [(as_csr(m).T.tocsr(), p) for m, p in decomposition]
+
+
+def _linear_pair(step_f, step_b):
+    """Wrap two mutually-transposed linear steps as differentiable
+    functions. Reverse-mode only (``custom_vjp``)."""
+
+    @jax.custom_vjp
+    def apply(x):
+        return step_f(x)
+
+    apply.defvjp(lambda x: (step_f(x), None), lambda _, g: (step_b(g),))
+
+    @jax.custom_vjp
+    def apply_t(x):
+        return step_b(x)
+
+    apply_t.defvjp(lambda x: (step_b(x), None), lambda _, g: (step_f(g),))
+    return apply, apply_t
+
+
+class ArrowOperator:
+    """``A`` as a pair of differentiable device functions.
+
+    :ivar apply: ``state -> state`` computing ``A @ X`` (custom VJP: the
+        cotangent goes through the transpose plan).
+    :ivar apply_t: ``state -> state`` computing ``A^T @ X`` (its VJP is the
+        forward plan).
+
+    Both run on the operator's state layout; move data with
+    :meth:`distribute` / :meth:`collect` (multi-device: sharded over the
+    block mesh; single chip: level-0 permuted padded array).
+    """
+
+    def __init__(
+        self,
+        decomposition,
+        width: int,
+        n_devices: Optional[int] = None,
+        block_diagonal: bool = True,
+        k_hint: int = 16,
+        refine: str = "auto",
+    ):
+        self.width = width
+        self.n_devices = n_devices or len(jax.devices())
+        mats = [as_csr(d[0]) for d in decomposition]
+        self.n_rows = mats[0].shape[0]
+
+        if self.n_devices > 1:
+            q = self.n_devices
+            plan_f = compile_plan(
+                decomposition, width, q,
+                block_diagonal=block_diagonal, k_hint=k_hint,
+            )
+            plan_b = compile_plan(
+                transpose_decomposition(decomposition), width, q,
+                block_diagonal=block_diagonal, k_hint=k_hint,
+            )
+            mesh = block_mesh(q)
+            self._fwd = ArrowSpmm(plan_f, mesh)
+            self._bwd = ArrowSpmm(plan_b, mesh)
+            step_f, step_b = self._fwd.step, self._bwd.step
+        else:
+            perms = [np.asarray(d[1], dtype=np.int64) for d in decomposition]
+            q = max(1, -(-self.n_rows // width))
+            padded_perms = [pad_permutation(p, q * width) for p in perms]
+            inv0 = np.argsort(padded_perms[0])
+            Bt, cut = merge_levels_to_matrix(mats, padded_perms, inv0, width, q)
+            Bt, padded_perms, _ = rcm_refine_merged(Bt, padded_perms, refine)
+            plan_f = local_plan_from_merged(
+                Bt, cut, padded_perms, width, q, self.n_rows, k_hint=k_hint
+            )
+            plan_b = local_plan_from_merged(
+                Bt.T.tocsr(), cut, padded_perms, width, q, self.n_rows,
+                k_hint=k_hint,
+            )
+            dpf, dpb = jax.device_put(plan_f), jax.device_put(plan_b)
+            jf, jb = jax.jit(local_step), jax.jit(local_step)
+            step_f = lambda x: jf(dpf, x)
+            step_b = lambda x: jb(dpb, x)
+            self._perm0 = np.asarray(padded_perms[0])
+            self._padded_rows = plan_f.padded_rows
+            self._fwd = self._bwd = None
+
+        self.apply, self.apply_t = _linear_pair(step_f, step_b)
+
+    # -------------------------------------------------------------- data
+
+    def distribute(self, X: np.ndarray):
+        """(n, k) host features -> device state."""
+        if self._fwd is not None:
+            return self._fwd.distribute(X)
+        X = np.asarray(X, dtype=np.float32)
+        Xp = np.zeros((self._padded_rows, X.shape[1]), dtype=np.float32)
+        Xp[: X.shape[0]] = X
+        return jnp.asarray(Xp[self._perm0])
+
+    def collect(self, x) -> np.ndarray:
+        """Device state -> (n, k) host features in original row order."""
+        if self._fwd is not None:
+            return self._fwd.collect(x)
+        inv = np.argsort(self._perm0)
+        return np.asarray(jax.device_get(x))[inv][: self.n_rows]

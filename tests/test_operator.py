@@ -1,0 +1,126 @@
+"""Differentiable arrow operator: apply/apply_t golden checks, custom-VJP
+gradients against the analytic ``A^T``/``A`` forms, chained-step gradients,
+and a one-step training smoke test."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from arrow_matrix_tpu.decomposition import arrow_decomposition
+from arrow_matrix_tpu.decomposition.arrow import compute_spmm
+from arrow_matrix_tpu.io.generate import barabasi_albert, grid_graph, random_dense
+from arrow_matrix_tpu.parallel.operator import ArrowOperator, transpose_decomposition
+
+
+@pytest.fixture(scope="module")
+def problem():
+    A = barabasi_albert(400, 4, seed=8)
+    decomp = arrow_decomposition(
+        A, 51, max_number_of_levels=100, block_diagonal=True, seed=1
+    )
+    return A, decomp
+
+
+def test_transpose_decomposition_golden(problem):
+    A, decomp = problem
+    X = random_dense(A.shape[0], 8, seed=3)
+    got = compute_spmm(transpose_decomposition(decomp), X)
+    np.testing.assert_allclose(got, A.T.astype(np.float32) @ X, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_devices", [1, 8])
+def test_apply_and_apply_t(problem, n_devices):
+    A, decomp = problem
+    op = ArrowOperator(decomp, 51, n_devices=n_devices, k_hint=8)
+    X = random_dense(A.shape[0], 8, seed=4)
+    x = op.distribute(X)
+    np.testing.assert_allclose(
+        op.collect(op.apply(x)), A @ X, rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        op.collect(op.apply_t(x)), A.T @ X, rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("n_devices", [1, 8])
+def test_grad_is_transpose_spmm(problem, n_devices):
+    A, decomp = problem
+    op = ArrowOperator(decomp, 51, n_devices=n_devices, k_hint=8)
+    X = random_dense(A.shape[0], 8, seed=5)
+    W = random_dense(A.shape[0], 8, seed=6)
+    xs, ws = op.distribute(X), op.distribute(W)
+
+    # d/dx sum((A x) * W) = A^T W
+    gx = jax.grad(lambda x: jnp.vdot(op.apply(x), ws))(xs)
+    np.testing.assert_allclose(op.collect(gx), A.T @ W, rtol=2e-4, atol=2e-4)
+
+    # d/dx sum((A^T x) * W) = A W
+    gt = jax.grad(lambda x: jnp.vdot(op.apply_t(x), ws))(xs)
+    np.testing.assert_allclose(op.collect(gt), A @ W, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("n_devices", [1, 8])
+def test_grad_through_chained_steps(problem, n_devices):
+    A, decomp = problem
+    op = ArrowOperator(decomp, 51, n_devices=n_devices, k_hint=8)
+    X = random_dense(A.shape[0], 8, seed=7)
+    W = random_dense(A.shape[0], 8, seed=9)
+    xs, ws = op.distribute(X), op.distribute(W)
+    gx = jax.grad(lambda x: jnp.vdot(op.apply(op.apply(x)), ws))(xs)
+    ref = A.T @ (A.T @ W)
+    np.testing.assert_allclose(op.collect(gx), ref, rtol=5e-4, atol=5e-4)
+
+
+def test_grad_with_refined_layout():
+    """RCM refinement composes into the I/O permutation; the transpose plan
+    must share the refined layout for the VJP to be exact."""
+    A = grid_graph(24)  # planar family: RCM adopts under refine='always'
+    n = A.shape[0]
+    width = 80
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=True, seed=0
+    )
+    op = ArrowOperator(decomp, width, n_devices=1, k_hint=8, refine="always")
+    X = random_dense(n, 8, seed=1)
+    W = random_dense(n, 8, seed=2)
+    xs, ws = op.distribute(X), op.distribute(W)
+    np.testing.assert_allclose(op.collect(op.apply(xs)), A @ X, rtol=2e-4, atol=2e-4)
+    gx = jax.grad(lambda x: jnp.vdot(op.apply(x), ws))(xs)
+    np.testing.assert_allclose(op.collect(gx), A.T @ W, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("n_devices", [1, 8])
+def test_banded_operator(n_devices):
+    A = barabasi_albert(300, 4, seed=5)
+    decomp = arrow_decomposition(
+        A, 43, max_number_of_levels=100, block_diagonal=False, seed=3
+    )
+    op = ArrowOperator(decomp, 43, n_devices=n_devices, block_diagonal=False, k_hint=8)
+    X = random_dense(A.shape[0], 8, seed=6)
+    W = random_dense(A.shape[0], 8, seed=7)
+    xs, ws = op.distribute(X), op.distribute(W)
+    np.testing.assert_allclose(op.collect(op.apply(xs)), A @ X, rtol=2e-4, atol=2e-4)
+    gx = jax.grad(lambda x: jnp.vdot(op.apply(x), ws))(xs)
+    np.testing.assert_allclose(op.collect(gx), A.T @ W, rtol=2e-4, atol=2e-4)
+
+
+def test_training_smoke(problem):
+    """One SGD step of a 1-layer SGC (logits = (A X) W_dense) through the
+    custom VJP decreases the loss."""
+    A, decomp = problem
+    op = ArrowOperator(decomp, 51, n_devices=8, k_hint=8)
+    n, k, c = A.shape[0], 8, 4
+    X = random_dense(n, k, seed=10)
+    xs = op.distribute(X)
+    rng = np.random.default_rng(0)
+    Wd = jnp.asarray(rng.standard_normal((k, c), dtype=np.float32) * 0.1)
+    Y = jnp.asarray(rng.standard_normal((op.apply(xs).shape[0], c), dtype=np.float32))
+
+    def loss(w):
+        return jnp.mean((op.apply(xs) @ w - Y) ** 2)
+
+    l0, g = jax.value_and_grad(loss)(Wd)
+    l1 = loss(Wd - 0.1 * g)
+    assert float(l1) < float(l0)
