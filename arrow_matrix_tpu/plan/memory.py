@@ -72,8 +72,14 @@ def _tree_device_bytes(tree) -> int:
     return total
 
 
-def arrow_hbm_footprint(plan, k: int) -> Dict[str, float]:
+def arrow_hbm_footprint(plan, k: int, state_itemsize: int = 4) -> Dict[str, float]:
     """Exact per-device HBM bytes for ``ArrowSpmm.step`` on ``plan``.
+
+    :param state_itemsize: bytes per element of the iteration state — 2 for
+        ``ArrowSpmm(state_dtype=jnp.bfloat16)``. The state, the all_gathered
+        head replica, the routing exchange stacks and the assembly buffer
+        ride the state dtype; the per-block kernel operand/result pair stays
+        f32 (kernels upcast and accumulate in f32).
 
     Categories:
 
@@ -102,7 +108,7 @@ def arrow_hbm_footprint(plan, k: int) -> Dict[str, float]:
                 matrix += _tree_device_bytes(panel)
         # Always live while any level runs: the level's X replica (w0, k)
         # and this device's block features/result (width, k) x2.
-        lvl_transient = tpu_padded_bytes((w0, k)) + 2 * tpu_padded_bytes((w, k))
+        lvl_transient = tpu_padded_bytes((w0, k), state_itemsize) + 2 * tpu_padded_bytes((w, k))
         if lvl.route is not None:
             route += _tree_device_bytes(lvl.route)
             rt = lvl.route
@@ -111,12 +117,14 @@ def arrow_hbm_footprint(plan, k: int) -> Dict[str, float]:
             # send stack + its all_to_all receive, forward and backward
             # (not simultaneously live; take the larger), plus the assembly
             # concat buffer [local ; replica ; received ; zero].
-            exch = 2 * tpu_padded_bytes((q, max(mf, mb), k))
-            asm = tpu_padded_bytes((w + w0 + q * max(mf, mb) + 1, k))
+            exch = 2 * tpu_padded_bytes((q, max(mf, mb), k), state_itemsize)
+            asm = tpu_padded_bytes(
+                (w + w0 + q * max(mf, mb) + 1, k), state_itemsize
+            )
             lvl_transient += exch + asm
         transient_peak = max(transient_peak, lvl_transient)
 
-    state = 2 * tpu_padded_bytes((w_q + w, k))  # input + output buffers
+    state = 2 * tpu_padded_bytes((w_q + w, k), state_itemsize)  # in + out
     total = matrix + route + state + transient_peak
     return {
         "q": q,

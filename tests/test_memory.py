@@ -126,3 +126,22 @@ def test_fat_needed_flag():
     )
     assert not tight["slim_fits"]
     assert tight["fat_needed"] == tight["fat_fits"]
+
+
+def test_bf16_state_footprint():
+    # bf16 state halves the lane-padded state/replica/wire bytes; matrix
+    # panels and the f32 per-block kernel transients are unchanged.
+    n, width, q, k = 400, 64, 8, 16
+    A = barabasi_albert(n, 4, seed=11)
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=True, seed=3
+    )
+    plan = compile_plan(decomp, width, q)
+    f32 = arrow_hbm_footprint(plan, k)
+    f16 = arrow_hbm_footprint(plan, k, state_itemsize=2)
+    assert f16["matrix_bytes"] == f32["matrix_bytes"]
+    assert f16["route_bytes"] == f32["route_bytes"]
+    # Lane padding halves exactly; sublane rounding can only help.
+    assert f16["state_bytes"] <= 0.55 * f32["state_bytes"]
+    assert f16["transient_bytes"] < f32["transient_bytes"]
+    assert f16["total_bytes"] < f32["total_bytes"]
