@@ -28,7 +28,11 @@ run tools/bench_bsr_stream.py b 450 16
 run tools/profile_region.py 450 16384 16
 # 3. Windowed/stream at the 1M planar scale.
 run tools/bench_bsr_stream.py b 1000 16
-# 4. Headline bench refresh (default BA config + grid family).
+# 4. Headline bench refresh (default BA config + grid family + 128M-nnz
+#    rmat big case exercising the chunked-gather path).
 run bench.py
 run bench.py --graph grid --vertices 1000000
+run bench.py --graph rmat --vertices 4000000 --mode local --iterations 20
+# 5. Differentiable operator: forward vs transposed-plan backward timing.
+run tools/bench_operator.py
 echo "[$(stamp)] queue done" | tee -a "$LOG"
