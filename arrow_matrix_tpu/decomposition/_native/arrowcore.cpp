@@ -365,6 +365,31 @@ void bincount_impl(int64_t nnz, const I* indices, int64_t n_bins,
     for (int64_t i = 0; i < nnz; ++i) ++out[indices[i]];
     return;
   }
+  // Per-thread histograms cost max_t * n_bins * 8 bytes — tens of GB at
+  // reference vertex counts (e.g. kmer_V2a ~55M bins on a 96-thread host).
+  // Above a 256 MB budget switch to bin-range partitioning: every thread
+  // streams the whole index array but owns a contiguous bin range, so the
+  // extra memory is zero and writes never contend.
+  if (static_cast<int64_t>(max_t) * n_bins * 8 > (int64_t{1} << 28)) {
+#pragma omp parallel
+    {
+#ifdef _OPENMP
+      const int t = omp_get_thread_num();
+      const int n_t = omp_get_num_threads();
+#else
+      const int t = 0;
+      const int n_t = 1;
+#endif
+      const int64_t lo = n_bins * t / n_t;
+      const int64_t hi = n_bins * (t + 1) / n_t;
+      std::memset(out + lo, 0, sizeof(int64_t) * (hi - lo));
+      for (int64_t i = 0; i < nnz; ++i) {
+        const int64_t c = static_cast<int64_t>(indices[i]);
+        if (c >= lo && c < hi) ++out[c];
+      }
+    }
+    return;
+  }
   std::vector<int64_t> local(static_cast<size_t>(max_t) * n_bins, 0);
 #pragma omp parallel
   {

@@ -134,14 +134,19 @@ def _expected_levels(
 def _check_level_count(
     filename: str, width: Optional[int], block_diagonal: bool, loaded: int
 ) -> None:
-    """Raise when fewer levels were found on disk than the save recorded —
-    computing ``A @ X`` against a truncated operator is silent corruption."""
+    """Raise when the on-disk level count differs from what the save
+    recorded. Fewer: level files are missing (computing ``A @ X`` against a
+    truncated operator is silent corruption). More: the any-width fallback
+    in :func:`_level_path` spliced levels from a DIFFERENT decomposition
+    saved under the same base name (e.g. another width's deeper levels) —
+    equally silent corruption."""
     expected = _expected_levels(filename, width, block_diagonal)
-    if expected is not None and loaded < expected:
+    if expected is not None and loaded != expected:
         raise ValueError(
             f"decomposition '{filename}' (width {width}): found {loaded} "
             f"level(s) on disk but the save recorded {expected}; level files "
-            "are missing or saved under a different arrow width"
+            "are missing, saved under a different arrow width, or mixed with "
+            "another decomposition sharing the base name"
         )
 
 

@@ -686,6 +686,17 @@ def tile_density_stats(A: sparse.csr_matrix, tile_m: int = 128, tile_n: int = 12
 #: streaming kernel stays out of the cost model until measured on hardware
 #: (``None`` disables it); once calibrated, set its ns/tile here.
 BSR_NS_PER_TILE = 85.0
+
+#: Gather-ELL cost-model constants shared by every format gate (here, next
+#: to the BSR tile constants, so a recalibration updates ALL selectors at
+#: once — ops.dispatch and parallel.local import these rather than inlining
+#: the numbers).
+ELL_NS_PER_SLOT = 2.2
+ELL_SLOT_PAD_FACTOR = 1.25
+#: Pre-calibration estimate of the streaming kernel relative to the
+#: windowed kernel (stream re-fetches X per tile; windowed fetches each
+#: window ~once on banded operators).
+BSR_STREAM_FALLBACK_FACTOR = 4.0
 BSR_STREAM_NS_PER_TILE: float | None = None
 #: ns/tile of the windowed kernel's in-window tiles (X window amortized);
 #: None keeps the windowed executor out of auto-selection until measured.
@@ -698,8 +709,8 @@ def preferred_format(
     tile_m: int = 128,
     tile_n: int = 128,
     bsr_ns_per_tile: float = BSR_NS_PER_TILE,
-    ell_ns_per_slot: float = 2.2,
-    slot_pad_factor: float = 1.25,
+    ell_ns_per_slot: float = ELL_NS_PER_SLOT,
+    slot_pad_factor: float = ELL_SLOT_PAD_FACTOR,
     x_vmem_budget_bytes: int = 8 << 20,
     bsr_stream_ns_per_tile: float | None = None,
 ) -> str:

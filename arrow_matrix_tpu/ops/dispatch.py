@@ -49,18 +49,29 @@ def _ell_or_compact(b: sparse.csr_matrix):
     return ell_from_csr(b)
 
 
-def maybe_windowed(b: sparse.csr_matrix, k_hint: int, dtype=None):
-    """Calibration-gated windowed-BSR choice for a banded matrix beyond the
-    VMEM residency bound: returns a :class:`WindowedBsr` when the windowed
-    kernel is calibrated, the structure is banded enough, and its time model
-    beats BOTH alternatives available in that regime — the gather floor and
-    the per-tile streaming kernel; None otherwise. Callers check this BEFORE
-    dispatching on :func:`preferred_format`'s ell/bsr verdict."""
+#: Minimum in-window tile fraction for the windowed kernel to be considered
+#: (below this the residual stream matrix dominates its advantage).
+WINDOW_FRACTION_MIN = 0.8
+
+
+def _windowed_gate(agg: sparse.csr_matrix, k_hint: int, build):
+    """Shared calibration/structure/time gate for the windowed-BSR kernels.
+
+    Fires only when the windowed kernel is calibrated, the dense operand is
+    beyond the VMEM residency bound (otherwise the resident kernel competes
+    through :func:`preferred_format`), the structure is banded enough, and
+    the time model beats BOTH alternatives in that regime — the gather floor
+    and the per-tile streaming kernel. The final decision re-checks on the
+    BUILT matrix's actual in-window/residual split (the builder's nnz-median
+    window choice can differ from the probe's estimate). Returns the built
+    windowed matrix or None."""
     import arrow_matrix_tpu.ops.bsr_pallas as _bp
     import arrow_matrix_tpu.ops.tiling as _tiling
     from arrow_matrix_tpu.ops.bsr_pallas import (
+        ELL_NS_PER_SLOT,
+        ELL_SLOT_PAD_FACTOR,
+        BSR_STREAM_FALLBACK_FACTOR,
         tile_density_stats,
-        windowed_bsr_from_csr,
         windowed_tile_fraction,
     )
     from arrow_matrix_tpu.ops.tiling import vmem_resident_bytes
@@ -68,88 +79,77 @@ def maybe_windowed(b: sparse.csr_matrix, k_hint: int, dtype=None):
     if _bp.BSR_WINDOW_NS_PER_TILE is None:
         return None
     if (
-        vmem_resident_bytes(b.shape[1], min(k_hint, 128))
+        vmem_resident_bytes(agg.shape[1], min(k_hint, 128))
         <= _tiling.DEFAULT_VMEM_BUDGET
     ):
         return None  # the resident kernel is available; let the model pick
-    if windowed_tile_fraction(b) < 0.8:
+    if windowed_tile_fraction(agg) < WINDOW_FRACTION_MIN:
         return None
-    occ, nnz, _ = tile_density_stats(b)
-    ell_ns = nnz * 1.25 * 2.2
+    occ, nnz, _ = tile_density_stats(agg)
+    ell_ns = nnz * ELL_SLOT_PAD_FACTOR * ELL_NS_PER_SLOT
     # Residual tiles always run on the streaming kernel inside
     # bsr_spmm_window; estimate its rate pre-calibration. As a selectable
     # ALTERNATIVE the stream kernel only competes once calibrated.
     stream_tile_ns = (
         _bp.BSR_STREAM_NS_PER_TILE
         if _bp.BSR_STREAM_NS_PER_TILE is not None
-        else 4.0 * _bp.BSR_WINDOW_NS_PER_TILE
+        else BSR_STREAM_FALLBACK_FACTOR * _bp.BSR_WINDOW_NS_PER_TILE
     )
     alt_ns = ell_ns
     if _bp.BSR_STREAM_NS_PER_TILE is not None:
         alt_ns = min(alt_ns, occ * _bp.BSR_STREAM_NS_PER_TILE)
     if occ * _bp.BSR_WINDOW_NS_PER_TILE >= alt_ns:
         return None
-    import numpy as np
+    wm = build()
 
-    wm = windowed_bsr_from_csr(b, dtype=dtype or np.float32)
-    # Decide on the BUILT result: in-window tiles at the windowed rate,
-    # residual tiles at the streaming rate (the builder's nnz-median window
-    # choice can differ from the probe's tile-median estimate).
-    res_t = wm.residual.n_tiles if wm.residual is not None else 0
+    def built_tiles(m):
+        # Stacked mats carry (q, T, tm, tn) payloads; padding tiles execute
+        # on every device, so the total is q * T (vs the aggregate alt_ns).
+        if m is None:
+            return 0
+        td = m.tiles_data
+        return int(td.shape[0] * td.shape[1]) if td.ndim == 4 else int(td.shape[0])
+
     win_ns = (
-        wm.inner.n_tiles * _bp.BSR_WINDOW_NS_PER_TILE
-        + res_t * stream_tile_ns
+        built_tiles(wm.inner) * _bp.BSR_WINDOW_NS_PER_TILE
+        + built_tiles(wm.residual) * stream_tile_ns
     )
     if win_ns < alt_ns:
         return wm
     return None
 
 
+def maybe_windowed(b: sparse.csr_matrix, k_hint: int, dtype=None):
+    """Calibration-gated windowed-BSR choice for a banded matrix beyond the
+    VMEM residency bound (see :func:`_windowed_gate`). Callers check this
+    BEFORE dispatching on :func:`preferred_format`'s ell/bsr verdict."""
+    import numpy as np
+
+    from arrow_matrix_tpu.ops.bsr_pallas import windowed_bsr_from_csr
+
+    return _windowed_gate(
+        b, k_hint, lambda: windowed_bsr_from_csr(b, dtype=dtype or np.float32)
+    )
+
+
 def stacked_windowed_or_none(blocks, k_hint: int, dtype=None):
     """Calibration-gated stacked :class:`WindowedBsr` choice for a ROLE's
     per-device blocks (identical static programs under shard_map): the
-    per-block analogue of :func:`maybe_windowed`, decided on the row-stacked
+    per-block analogue of :func:`maybe_windowed`, gated on the row-stacked
     aggregate (each block's rows are separate tile rows, so bandedness and
     the window fraction are preserved). Fires only beyond the VMEM residency
     bound — production block widths (reference decompose default 5M,
     scripts/decomposition_main.py:123) on banded families."""
-    import arrow_matrix_tpu.ops.bsr_pallas as _bp
-    import arrow_matrix_tpu.ops.tiling as _tiling
-    from arrow_matrix_tpu.ops.bsr_pallas import (
-        stack_windowed_from_csr,
-        tile_density_stats,
-        windowed_tile_fraction,
-    )
-    from arrow_matrix_tpu.ops.tiling import vmem_resident_bytes
-
-    if _bp.BSR_WINDOW_NS_PER_TILE is None:
-        return None
-    agg = sparse.vstack([b.tocsr() for b in blocks]).tocsr()
-    if (
-        vmem_resident_bytes(agg.shape[1], min(k_hint, 128))
-        <= _tiling.DEFAULT_VMEM_BUDGET
-    ):
-        return None
-    frac = windowed_tile_fraction(agg)
-    if frac < 0.8:
-        return None
-    occ, nnz, _ = tile_density_stats(agg)
-    stream_tile_ns = (
-        _bp.BSR_STREAM_NS_PER_TILE
-        if _bp.BSR_STREAM_NS_PER_TILE is not None
-        else 4.0 * _bp.BSR_WINDOW_NS_PER_TILE
-    )
-    win_ns = occ * (
-        frac * _bp.BSR_WINDOW_NS_PER_TILE + (1.0 - frac) * stream_tile_ns
-    )
-    alt_ns = nnz * 1.25 * 2.2
-    if _bp.BSR_STREAM_NS_PER_TILE is not None:
-        alt_ns = min(alt_ns, occ * _bp.BSR_STREAM_NS_PER_TILE)
-    if win_ns >= alt_ns:
-        return None
     import numpy as np
 
-    return stack_windowed_from_csr(blocks, dtype=dtype or np.float32)
+    from arrow_matrix_tpu.ops.bsr_pallas import stack_windowed_from_csr
+
+    agg = sparse.vstack([b.tocsr() for b in blocks]).tocsr()
+    return _windowed_gate(
+        agg,
+        k_hint,
+        lambda: stack_windowed_from_csr(blocks, dtype=dtype or np.float32),
+    )
 
 
 def build_block_format(

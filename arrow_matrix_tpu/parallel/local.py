@@ -276,21 +276,33 @@ def compile_single_chip(
     Bt, padded_perms, applied = rcm_refine_merged(Bt, padded_perms, refine)
 
     if applied and cut > BSR_REGION_ROWS:
-        import arrow_matrix_tpu.ops.bsr_pallas as _bp
-        from arrow_matrix_tpu.ops.bsr_pallas import windowed_tile_fraction
+        from arrow_matrix_tpu.ops.dispatch import maybe_windowed
 
         # Once the windowed kernel is calibrated it supersedes the region
         # executor on banded operators (single launch, no region copies, no
-        # partial-sum traffic); the merged plan's format chooser picks it.
-        if (
-            _bp.BSR_WINDOW_NS_PER_TILE is not None
-            and windowed_tile_fraction(Bt) >= 0.8
-        ):
-            plan = local_plan_from_merged(
-                Bt, cut, padded_perms, width, q, n, k_hint=k_hint
+        # partial-sum traffic). Probe the gate directly — building a full
+        # merged plan just to inspect its chosen format would pay the whole
+        # format build (windowed pack + ELL chunking over the merged nnz)
+        # even when the region executor wins.
+        wm = maybe_windowed(Bt, k_hint)
+        if wm is not None:
+            plan = LocalArrowPlan(
+                levels=(
+                    LocalLevel(
+                        mat=wm,
+                        mat_sparse=None,
+                        dst_to_src=None,
+                        src_to_dst=None,
+                        cut=cut,
+                        fmt="window",
+                    ),
+                ),
+                width=width,
+                n_rows=n,
+                padded_rows=q * width,
+                permutations=tuple(padded_perms),
             )
-            if plan.levels[0].fmt == "window":
-                return plan, local_step
+            return plan, local_step
         plan = region_plan_from_merged(
             Bt, cut, padded_perms, width, q, n,
             k_hint=k_hint, region_rows=region_rows or BSR_REGION_ROWS,

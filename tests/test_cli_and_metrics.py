@@ -139,6 +139,27 @@ def test_mixed_width_levels_load_fully(tmp_path):
     assert len(loaded2) == 2
 
 
+def test_same_base_other_width_does_not_splice(tmp_path):
+    # Two decompositions of the same graph saved under ONE base name with
+    # different widths: loading one width must not splice in the other's
+    # deeper levels through the any-width fallback (reproduced corruption:
+    # a 2-level width-60 load returned 3 levels, max abs err 1.95 on A@X).
+    from arrow_matrix_tpu.decomposition import arrow_decomposition
+    from arrow_matrix_tpu.io.generate import barabasi_albert
+
+    A = barabasi_albert(400, 6, seed=7)
+    wide = arrow_decomposition(A, 120, max_number_of_levels=10, seed=0)
+    narrow = arrow_decomposition(A, 25, max_number_of_levels=10, seed=0)
+    assert len(narrow) > len(wide)
+    base = str(tmp_path / "shared")
+    graphio.save_decomposition_new(A, wide, base)
+    graphio.save_decomposition_new(A, narrow, base)
+    with pytest.raises(ValueError, match="level"):
+        graphio.load_decomposition_new(base, 120)
+    # The other width still loads consistently.
+    assert len(graphio.load_decomposition_new(base, 25)) == len(narrow)
+
+
 def test_missing_level_raises(tmp_path):
     from arrow_matrix_tpu.decomposition.arrow import ArrowGraph
 

@@ -270,6 +270,15 @@ def test_native_bincount_matches_numpy():
             native.bincount_indices(idx, 500),
             np.bincount(idx, minlength=500),
         )
+    # Huge-bin regime: per-thread histograms would cost threads * n_bins *
+    # 8 B (tens of GB at reference vertex counts); above the 256 MB budget
+    # the C++ core switches to zero-extra-memory bin-range partitioning.
+    n_bins = 12_000_000
+    idx = rng.integers(0, n_bins, size=(1 << 21) + 17).astype(np.int64)
+    np.testing.assert_array_equal(
+        native.bincount_indices(idx, n_bins),
+        np.bincount(idx, minlength=n_bins),
+    )
 
 
 def test_symmetric_flag_identical_decomposition():

@@ -17,7 +17,8 @@ echo "[$(stamp)] relay UP — running queue" | tee -a "$LOG"
 run() {
   echo "[$(stamp)] >>> $*" | tee -a "$LOG"
   TPURUN_TIMEOUT=580 tools/tpurun.sh "$@" 2>&1 | tee -a "$LOG"
-  echo "[$(stamp)] <<< rc=$? $*" | tee -a "$LOG"
+  local rc=${PIPESTATUS[0]}  # tee's status would mask a failed measurement
+  echo "[$(stamp)] <<< rc=$rc $*" | tee -a "$LOG"
 }
 
 # 1. Calibrate streaming + windowed BSR kernels (sets no constants itself;
