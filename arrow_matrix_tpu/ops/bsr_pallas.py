@@ -300,6 +300,13 @@ def bsr_spmm_stream(
     k = x.shape[1]
     TB, TM, TN = m.tiles_per_program, m.tile_m, m.tile_n
     assert x.shape[0] == m.n_col_tiles * TN, (x.shape, m.n_col_tiles * TN)
+    # Mosaic's memref_slice (the manual DMA source/dest) must be 128-aligned
+    # along lanes; a k<128 operand is physically lane-padded to 128 anyway,
+    # so pad it logically too and slice the result back — zero extra
+    # physical traffic, and the MXU processes 128 lanes per pass regardless.
+    kp = -(-k // 128) * 128
+    if kp != k:
+        x = jnp.pad(x, ((0, 0), (0, kp - k)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -308,19 +315,21 @@ def bsr_spmm_stream(
             pl.BlockSpec((TB, TM, TN), lambda p, rows, cols: (p, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # X stays in HBM
         ],
-        out_specs=pl.BlockSpec((TM, k), lambda p, rows, cols: (rows[p], 0)),
+        out_specs=pl.BlockSpec((TM, kp), lambda p, rows, cols: (rows[p], 0)),
         scratch_shapes=[
-            pltpu.VMEM((TM, k), jnp.float32),
-            pltpu.VMEM((2, TB, TN, k), jnp.float32),
+            pltpu.VMEM((TM, kp), jnp.float32),
+            pltpu.VMEM((2, TB, TN, kp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, TB)),
         ],
     )
     out = pl.pallas_call(
         _make_stream_kernel(TB, TN, precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m.n_row_tiles * TM, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m.n_row_tiles * TM, kp), jnp.float32),
         interpret=interpret,
     )(m.prog_rows, m.tiles_col, m.tiles_data, x)
+    if kp != k:
+        out = out[:, :k]
     mask = jnp.repeat(m.row_occupied, TM)[:, None]
     return jnp.where(mask, out, 0.0)
 
