@@ -302,8 +302,9 @@ def bsr_spmm_stream(
     assert x.shape[0] == m.n_col_tiles * TN, (x.shape, m.n_col_tiles * TN)
     # Mosaic's memref_slice (the manual DMA source/dest) must be 128-aligned
     # along lanes; a k<128 operand is physically lane-padded to 128 anyway,
-    # so pad it logically too and slice the result back — zero extra
-    # physical traffic, and the MXU processes 128 lanes per pass regardless.
+    # so pad it logically too and slice the result back — no extra in-kernel
+    # DMA traffic (the jnp.pad/out-slice copies outside the kernel are real
+    # but fuse away when the caller jits around this, and vanish for k=128).
     kp = -(-k // 128) * 128
     if kp != k:
         x = jnp.pad(x, ((0, 0), (0, kp - k)))

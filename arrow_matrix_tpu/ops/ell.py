@@ -140,6 +140,14 @@ def big_take(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 #: otherwise allocate ~70GB and OOM 16GB HBM at compile.
 MAX_GATHER_SLOTS = 16_000_000
 
+#: Per-chunk slot bound for the chunked pass. Kept well below
+#: MAX_GATHER_SLOTS: a chunk materializes slots*512B of HBM temp, and at
+#: 16M slots that is 7.6GiB — measured OOM on a 4M-vertex/128M-nnz RMAT
+#: alongside the resident plan buffers. 4M slots bounds the temp at 2GiB;
+#: the extra lax.map iterations are dynamic-slice launches, amortized by
+#: the gather itself.
+CHUNK_GATHER_SLOTS = 4_000_000
+
 
 def _slot_partial(idx, val, x, precision) -> jnp.ndarray:
     """(V, R) slots -> (V, k) partial: gather + FMA-reduce, switching to the
@@ -167,7 +175,7 @@ def _chunked_partial(A: EllMat, x: jnp.ndarray, precision) -> jnp.ndarray:
     bounding the materialized intermediate to one chunk."""
     V, R = A.idx.shape
     k = x.shape[-1]
-    vc = max(8, (MAX_GATHER_SLOTS // R) // 8 * 8)
+    vc = max(8, (CHUNK_GATHER_SLOTS // R) // 8 * 8)
     n_chunks = -(-V // vc)
     pad = n_chunks * vc - V
     idxp = jnp.pad(A.idx, ((0, pad), (0, 0)))  # pad slots: col 0, val 0

@@ -1,24 +1,30 @@
 """Single-chip benchmark: iterated arrow SpMM throughput (nnz/s/chip).
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+Prints ONE JSON line.  The headline fields ``metric``/``value``/``unit``/
+``vs_baseline`` report the default configuration (Barabási 200k vertices,
+k = 16 — the reference's benchmark generator and default feature count,
+reference: arrow/arrow_bench.py:28-41, scripts/spmm_arrow_main.py:14).
+The ``configs`` map reports the full basket the reference benchmarks across
+(multiple graph families and feature widths, arrow/arrow_bench.py:12-137):
 
-Problem: decompose a Barabási graph (the reference's benchmark generator,
-reference: arrow/arrow_bench.py:28-41), k = 16 dense columns (reference
-default, scripts/spmm_arrow_main.py:14), run the jit-compiled iterated SpMM
-on the available chip, and report effective nonzeros processed per second.
+* ``ba-200k``      — power-law, scattered (gather-ELL path), headline
+* ``grid-202k``    — planar family (RCM + region / windowed BSR path)
+* ``grid-1m``      — planar at 1M rows
+* ``ba-1m``        — power-law at 1M rows (folded-source gathers)
+* ``er-16k``       — dense-ish (resident Pallas BSR / MXU)
+* ``ba-200k-k128`` / ``grid-202k-k128`` — k = 128 (the reference's 1.5D
+  default feature count, scripts/spmm_15d_main.py:57; lane padding makes
+  wide k nearly free on TPU)
 
-Two executors are timed:
+Per config: nnz/s, the auto-selected executor, and speedup vs host scipy
+CSR @ dense (the reference's CPU kernel, arrow/arrow_mpi.py:196-219).
+The ``blocked`` (distributed-program-on-one-chip) executor is timed on the
+headline config only.  ``comm_volume`` reports exact per-device
+bytes/iteration from the compiled plans for BOTH the headline BA graph
+(not minor-excluded: arrow loses there, as the paper predicts) and the
+planar grid (where arrow wins — the README.md:3 claim).
 
-* the best single-chip executor (``compile_single_chip``: the merged plan,
-  or the region executor for RCM-banded matrices) — headline ``value``,
-  with the chosen executor reported as ``executor``;
-* the blocked executor (``blocked_step``) — the DISTRIBUTED program
-  (per-block kernels + routing exchanges + emulated collectives) on one
-  chip, reported as ``arrow_spmm_distributed_nnz_per_s``.
-
-``vs_baseline`` compares against host scipy CSR @ dense on the same problem
-(the reference's CPU kernel, arrow/arrow_mpi.py:196-219).
+Use ``--graph`` to run a single configuration instead of the basket.
 """
 
 import argparse
@@ -28,77 +34,49 @@ import time
 import numpy as np
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--graph", choices=["ba", "er", "grid", "rmat"],
-                   default="ba",
-                   help="ba: power-law (scattered, gather-ELL); er: dense-ish "
-                        "(Pallas BSR); grid: planar family; rmat: Graph500 "
-                        "power-law at scale=log2(vertices), edge factor 16")
-    p.add_argument("--vertices", type=int, default=200_000)
-    p.add_argument("--ba-neighbors", type=int, default=4)
-    p.add_argument("--width", type=int, default=25_000)
-    p.add_argument("--features", type=int, default=16)
-    p.add_argument("--iterations", type=int, default=50)
-    p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--blocks", type=int, default=None,
-                   help="block count for the plans (default: ceil(n/width))")
-    p.add_argument("--mode", choices=["local", "blocked", "both"],
-                   default="both")
-    p.add_argument("--refine", choices=["never", "auto", "always"],
-                   default="auto",
-                   help="merged-layout RCM refinement (plan/refine.py)")
-    p.add_argument("--comm-volume", type=int, default=8,
-                   help="also report per-device comm volume of the N-device "
-                        "distributed plan and the matching 1.5D baseline "
-                        "(host-side, exact from the plans; 0 disables)")
-    args = p.parse_args()
-
-    import jax
-    import jax.numpy as jnp
-
-    from arrow_matrix_tpu.decomposition import arrow_decomposition
-    from arrow_matrix_tpu.io.generate import barabasi_albert
-    from arrow_matrix_tpu.parallel.blocked import blocked_step, compile_blocked_plan
-    from arrow_matrix_tpu.parallel.local import compile_single_chip
-    from arrow_matrix_tpu.parallel.region import RegionPlan
-
-    rng = np.random.default_rng(0)
-    if args.graph == "er":
+def build_graph(graph, vertices, ba_neighbors, width):
+    """Return (A, width) for a named family, mirroring the reference's
+    generators (arrow/arrow_bench.py:28-41, arrow/common/utils.py:63-87)."""
+    if graph == "er":
         from arrow_matrix_tpu.io.generate import erdos_renyi
 
-        n = min(args.vertices, 16_384)
+        n = min(vertices, 16_384)
         A = erdos_renyi(n, 0.01, seed=1)
-        args.width = min(args.width, max(1, n // 8))
-    elif args.graph == "grid":
+        width = min(width, max(1, n // 8))
+    elif graph == "grid":
         from arrow_matrix_tpu.io.generate import grid_graph
 
-        side = int(args.vertices ** 0.5)
+        side = int(vertices ** 0.5)
         A = grid_graph(side)
-        args.width = min(args.width, max(1, (side * side) // 8 + 1))
-    elif args.graph == "rmat":
+        width = min(width, max(1, (side * side) // 8 + 1))
+    elif graph == "rmat":
         from arrow_matrix_tpu.io.generate import rmat_graph
 
-        scale = max(1, int(round(np.log2(args.vertices))))
+        scale = max(1, int(round(np.log2(vertices))))
         A = rmat_graph(scale, seed=1)
-        args.width = min(max(args.width, A.shape[0] // 8 + 1), A.shape[0])
+        width = min(max(width, A.shape[0] // 8 + 1), A.shape[0])
     else:
-        A = barabasi_albert(args.vertices, args.ba_neighbors, seed=1)
-    args.vertices = A.shape[0]
-    decomp = arrow_decomposition(
-        A,
-        args.width,
-        max_number_of_levels=100,
-        block_diagonal=True,
-        seed=2,
-    )
-    nnz = sum(int(lvl.matrix.nnz) for lvl in decomp)
+        from arrow_matrix_tpu.io.generate import barabasi_albert
+
+        A = barabasi_albert(vertices, ba_neighbors, seed=1)
+    return A, width
+
+
+def make_sync():
+    import jax
 
     def sync(arr):
         # NOTE: through the axon relay block_until_ready can return before
         # the device finishes; a device->host transfer of (a slice of) the
         # result is the only reliable fence.
         return np.asarray(jax.device_get(arr[:1, :1]))
+
+    return sync
+
+
+def make_timer(iterations, sync):
+    import jax
+    import jax.numpy as jnp
 
     def time_step(plan, step_fn, x0):
         """Differenced 1- vs N-iteration fori_loop timing (fixed relay cost
@@ -111,82 +89,203 @@ def main():
         run = jax.jit(run, static_argnums=2)
         xj = jnp.asarray(x0)
         sync(run(plan, xj, 1))  # compile 1-iter variant
-        sync(run(plan, xj, args.iterations))  # compile N-iter variant
+        sync(run(plan, xj, iterations))  # compile N-iter variant
         tic = time.perf_counter()
         sync(run(plan, xj, 1))
         t1 = time.perf_counter() - tic
         tic = time.perf_counter()
-        sync(run(plan, xj, args.iterations))
+        sync(run(plan, xj, iterations))
         tn = time.perf_counter() - tic
-        return max((tn - t1) / (args.iterations - 1), 1e-9)
+        return max((tn - t1) / (iterations - 1), 1e-9)
 
-    results = {}
-    executor = None
-    if args.mode in ("local", "both"):
-        plan, step_fn = compile_single_chip(
-            decomp, args.width, n_blocks=args.blocks, k_hint=args.features,
-            refine=args.refine,
+    return time_step
+
+
+def run_config(A, width, k, iterations, refine, time_step, blocks=None,
+               with_blocked=False):
+    """Decompose A, compile the best single-chip executor, time it, and
+    compare against host scipy.  Returns a result dict."""
+    from arrow_matrix_tpu.decomposition import arrow_decomposition
+    from arrow_matrix_tpu.parallel.local import compile_single_chip
+    from arrow_matrix_tpu.parallel.region import RegionPlan
+
+    rng = np.random.default_rng(0)
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=True, seed=2
+    )
+    nnz = sum(int(lvl.matrix.nnz) for lvl in decomp)
+
+    plan, step_fn = compile_single_chip(
+        decomp, width, n_blocks=blocks, k_hint=k, refine=refine
+    )
+    if isinstance(plan, RegionPlan):
+        executor = "region"
+    else:
+        executor = getattr(plan, "executor_name", None) or (
+            f"merged/{plan.levels[0].fmt}"
         )
-        executor = "region" if isinstance(plan, RegionPlan) else "merged"
-        if not isinstance(plan, RegionPlan):
-            executor = f"merged/{plan.levels[0].fmt}"
-        x0 = rng.random((plan.padded_rows, args.features), dtype=np.float32)
-        results["local"] = time_step(plan, step_fn, x0)
-    if args.mode in ("blocked", "both"):
-        bplan = compile_blocked_plan(
-            decomp, args.width, n_blocks=args.blocks, k_hint=args.features
-        )
-        x0 = rng.random(
-            (bplan.n_blocks * bplan.width, args.features), dtype=np.float32
-        )
-        results["blocked"] = time_step(bplan, blocked_step, x0)
+    x0 = rng.random((plan.padded_rows, k), dtype=np.float32)
+    dt = time_step(plan, step_fn, x0)
 
     # Host scipy baseline (reference CPU kernel) on the same iteration.
-    X = rng.random((args.vertices, args.features), dtype=np.float32)
+    X = rng.random((A.shape[0], k), dtype=np.float32)
     A @ X  # warm caches
     tic = time.perf_counter()
-    reps = max(1, min(5, args.iterations // 4))
+    reps = max(1, min(5, iterations // 4))
     for _ in range(reps):
         X = A @ X
     scipy_time = (time.perf_counter() - tic) / reps
 
-    device_time = results.get("local", results.get("blocked"))
+    res = {
+        "nnz_per_s": nnz / dt,
+        "step_ms": dt * 1e3,
+        "nnz": nnz,
+        "k": k,
+        "levels": len(decomp),
+        "executor": executor,
+        "vs_scipy": scipy_time / dt,
+    }
+    if with_blocked:
+        from arrow_matrix_tpu.parallel.blocked import (
+            blocked_step,
+            compile_blocked_plan,
+        )
+
+        bplan = compile_blocked_plan(decomp, width, n_blocks=blocks, k_hint=k)
+        xb = rng.random((bplan.n_blocks * bplan.width, k), dtype=np.float32)
+        res["distributed_nnz_per_s"] = nnz / time_step(bplan, blocked_step, xb)
+    return res, decomp
+
+
+def comm_volume_report(decomp, width, n, k, n_devices):
+    """Exact per-device bytes/iteration from the compiled plans (the
+    reference's headline comparison, README.md:3) — host-side only."""
+    from arrow_matrix_tpu.baselines.spmm_15d import replication_factor
+    from arrow_matrix_tpu.plan import compile_plan
+    from arrow_matrix_tpu.plan.comm import arrow_comm_volume, spmm_15d_comm_volume
+
+    qv = max(n_devices, -(-n // width))
+    dplan = compile_plan(decomp, width, qv, k_hint=k)
+    c = replication_factor(qv)
+    return {
+        "n_devices": qv,
+        "arrow_bytes_per_device": arrow_comm_volume(dplan, k)["total_bytes"],
+        "spmm_15d_bytes_per_device": spmm_15d_comm_volume(
+            n, n, k, qv // c, c
+        )["total_bytes"],
+    }
+
+
+# (name, graph family, vertices, k) — the driver-visible basket.
+BASKET = [
+    ("ba-200k", "ba", 200_000, 16),
+    ("grid-202k", "grid", 202_500, 16),
+    ("grid-1m", "grid", 1_000_000, 16),
+    ("ba-1m", "ba", 1_000_000, 16),
+    ("er-16k", "er", 16_384, 16),
+    ("ba-200k-k128", "ba", 200_000, 128),
+    ("grid-202k-k128", "grid", 202_500, 128),
+]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--graph", choices=["ba", "er", "grid", "rmat"],
+                   default=None,
+                   help="run ONE configuration instead of the basket")
+    p.add_argument("--vertices", type=int, default=200_000)
+    p.add_argument("--ba-neighbors", type=int, default=4)
+    p.add_argument("--width", type=int, default=25_000)
+    p.add_argument("--features", type=int, default=16)
+    p.add_argument("--iterations", type=int, default=50)
+    p.add_argument("--blocks", type=int, default=None,
+                   help="block count for the plans (default: ceil(n/width))")
+    p.add_argument("--mode", choices=["local", "blocked", "both"],
+                   default="both")
+    p.add_argument("--refine", choices=["never", "auto", "always"],
+                   default="auto",
+                   help="merged-layout RCM refinement (plan/refine.py)")
+    p.add_argument("--comm-volume", type=int, default=8,
+                   help="report per-device comm volume of the N-device "
+                        "distributed plan vs the 1.5D baseline (0 disables)")
+    p.add_argument("--skip", default="",
+                   help="comma-separated basket config names to skip")
+    args = p.parse_args()
+
+    time_step = make_timer(args.iterations, make_sync())
+
+    if args.graph is not None:
+        # Single-config mode (kept for tools/ and ad-hoc sweeps).
+        A, width = build_graph(args.graph, args.vertices, args.ba_neighbors,
+                               args.width)
+        res, decomp = run_config(
+            A, width, args.features, args.iterations, args.refine, time_step,
+            blocks=args.blocks, with_blocked=args.mode in ("blocked", "both"),
+        )
+        out = {
+            "metric": "arrow_spmm_nnz_per_s_per_chip",
+            "value": res["nnz_per_s"],
+            "unit": "nnz/s",
+            "vs_baseline": res["vs_scipy"],
+            "executor": res["executor"],
+        }
+        if "distributed_nnz_per_s" in res:
+            out["arrow_spmm_distributed_nnz_per_s"] = res[
+                "distributed_nnz_per_s"]
+        if args.comm_volume:
+            try:
+                out["comm_volume"] = comm_volume_report(
+                    decomp, width, A.shape[0], args.features,
+                    args.comm_volume)
+            except Exception as e:  # noqa: BLE001 — reporting must not kill bench
+                out["comm_volume"] = {"error": str(e)}
+        print(json.dumps(out))
+        return
+
+    skip = {s for s in args.skip.split(",") if s}
+    configs = {}
+    headline = None
+    comm = {}
+    for name, graph, vertices, k in BASKET:
+        if name in skip:
+            continue
+        try:
+            A, width = build_graph(graph, vertices, args.ba_neighbors,
+                                   args.width)
+            res, decomp = run_config(
+                A, width, k, args.iterations, args.refine, time_step,
+                with_blocked=(name == "ba-200k"
+                              and args.mode in ("blocked", "both")),
+            )
+            configs[name] = res
+            if name == "ba-200k":
+                headline = res
+            if args.comm_volume and name in ("ba-200k", "grid-202k"):
+                try:
+                    comm[name] = comm_volume_report(
+                        decomp, width, A.shape[0], k, args.comm_volume)
+                except Exception as e:  # noqa: BLE001
+                    comm[name] = {"error": str(e)}
+        except Exception as e:  # noqa: BLE001 — one config must not kill the basket
+            configs[name] = {"error": str(e)}
+
     out = {
         "metric": "arrow_spmm_nnz_per_s_per_chip",
-        "value": nnz / device_time,
+        "value": headline["nnz_per_s"] if headline else None,
         "unit": "nnz/s",
-        "vs_baseline": scipy_time / device_time,  # >1 == faster than scipy
+        "vs_baseline": headline["vs_scipy"] if headline else None,
+        "executor": headline["executor"] if headline else None,
+        "configs": configs,
     }
-    if executor is not None:
-        out["executor"] = executor
-    if "blocked" in results:
-        out["arrow_spmm_distributed_nnz_per_s"] = nnz / results["blocked"]
-    if args.comm_volume:
-        # Exact per-device bytes/iteration from the compiled plans (the
-        # reference's headline comparison, README.md:3) — host-side only.
-        try:
-            from arrow_matrix_tpu.baselines.spmm_15d import replication_factor
-            from arrow_matrix_tpu.plan import compile_plan
-            from arrow_matrix_tpu.plan.comm import (
-                arrow_comm_volume,
-                spmm_15d_comm_volume,
-            )
-
-            # The distributed plan needs qv * width >= padded rows.
-            qv = max(args.comm_volume, -(-args.vertices // args.width))
-            dplan = compile_plan(decomp, args.width, qv, k_hint=args.features)
-            c = replication_factor(qv)
-            out["comm_volume"] = {
-                "n_devices": qv,
-                "arrow_bytes_per_device": arrow_comm_volume(
-                    dplan, args.features
-                )["total_bytes"],
-                "spmm_15d_bytes_per_device": spmm_15d_comm_volume(
-                    args.vertices, args.vertices, args.features, qv // c, c
-                )["total_bytes"],
-            }
-        except Exception as e:  # noqa: BLE001 — reporting must not kill bench
-            out["comm_volume"] = {"error": str(e)}
+    if headline and "distributed_nnz_per_s" in headline:
+        out["arrow_spmm_distributed_nnz_per_s"] = headline[
+            "distributed_nnz_per_s"]
+    if comm:
+        # The BA default is not minor-excluded (arrow loses there, as the
+        # paper predicts); the planar grid is where the README.md:3 win
+        # materializes — report both so the headline JSON is honest AND
+        # shows the claim (BASELINE.md "Round-2 measurements").
+        out["comm_volume"] = comm
     print(json.dumps(out))
 
 

@@ -20,8 +20,7 @@ def test_bench_main_emits_one_json_line(monkeypatch):
     monkeypatch.setattr(
         sys, "argv",
         ["bench.py", "--graph", "ba", "--vertices", "2000", "--width", "300",
-         "--iterations", "3", "--warmup", "1", "--mode", "both",
-         "--comm-volume", "4"],
+         "--iterations", "3", "--mode", "both", "--comm-volume", "4"],
     )
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -37,6 +36,42 @@ def test_bench_main_emits_one_json_line(monkeypatch):
     assert cv["n_devices"] == 7
     assert cv["arrow_bytes_per_device"] > 0
     assert cv["spmm_15d_bytes_per_device"] > 0
+
+
+def test_bench_basket_mode(monkeypatch):
+    """Default (no --graph) mode runs the config basket and reports each
+    config's throughput + executor plus the headline and comm volumes."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.setattr(
+        bench, "BASKET",
+        [("ba-200k", "ba", 2000, 16), ("grid-202k", "grid", 2500, 16)],
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench.py", "--iterations", "3", "--width", "300",
+         "--comm-volume", "4"],
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench.main()
+    lines = [l for l in buf.getvalue().strip().splitlines() if l.strip()]
+    assert len(lines) == 1
+    out = json.loads(lines[-1])
+    assert out["metric"] == "arrow_spmm_nnz_per_s_per_chip"
+    assert out["value"] > 0 and out["vs_baseline"] > 0
+    assert set(out["configs"]) == {"ba-200k", "grid-202k"}
+    for cfg in out["configs"].values():
+        assert cfg["nnz_per_s"] > 0 and "executor" in cfg
+    assert out["arrow_spmm_distributed_nnz_per_s"] > 0
+    assert set(out["comm_volume"]) == {"ba-200k", "grid-202k"}
+    for cv in out["comm_volume"].values():
+        assert cv["arrow_bytes_per_device"] > 0
 
 
 def test_graft_entry_contract():
