@@ -170,6 +170,13 @@ class Spmm15D:
                 row_occupied=stacked.row_occupied.reshape(
                     (p_div_c, c) + stacked.row_occupied.shape[1:]
                 ),
+                tiles_lrow=(
+                    stacked.tiles_lrow.reshape(
+                        (p_div_c, c) + stacked.tiles_lrow.shape[1:]
+                    )
+                    if stacked.tiles_lrow is not None
+                    else None
+                ),
             )
         else:
             stacked = stack_ells_from_csr(flat_blocks, slots_per_row)  # (P, V, R)
@@ -211,6 +218,11 @@ class Spmm15D:
                     tiles_col=lA.tiles_col[0, 0],
                     prog_rows=lA.prog_rows[0, 0],
                     row_occupied=lA.row_occupied[0, 0],
+                    tiles_lrow=(
+                        lA.tiles_lrow[0, 0]
+                        if lA.tiles_lrow is not None
+                        else None
+                    ),
                 )
                 y_partial = bsr_apply(m, x_cols, lNI)
             else:

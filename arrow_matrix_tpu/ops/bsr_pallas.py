@@ -35,14 +35,25 @@ from flax import struct
 
 @struct.dataclass
 class BsrMat:
-    """Tile-sparse matrix, tile-row grouped.
+    """Tile-sparse matrix, grouped by ROW GROUPS of ``rows_per_program``
+    consecutive tile rows.
 
-    * ``tiles_data``: (T, TM, TN) — dense tile payloads; per tile row the
+    * ``tiles_data``: (T, TM, TN) — dense tile payloads; per row group the
       tile count is padded to a multiple of the program batch ``TB`` with
       all-zero tiles (their column id is 0, harmless).
     * ``tiles_col``: (T,) int32 — tile column ids.
-    * ``prog_rows``: (T / TB,) int32 — the tile row id of each program's
-      batch; programs of one row are consecutive.
+    * ``tiles_lrow``: (T,) int32 — each tile's LOCAL tile-row index within
+      its row group (0..rows_per_program-1); all zero when
+      ``rows_per_program == 1``.
+    * ``prog_rows``: (T / TB,) int32 — the row-GROUP id of each program's
+      batch; programs of one group are consecutive.
+
+    ``rows_per_program > 1`` exists to amortize the fixed per-grid-step cost
+    (~0.3 us measured on v5e) over several thin tile rows: banded operators
+    after RCM have ~4 occupied tiles per 128-row tile row, so one-row
+    programs both pad the tile stream 2x (row counts round up to TB) and pay
+    the step cost per 4 tiles. Grouping 4 rows into one program with TB=16
+    eliminates the padding AND quarters the step count.
     """
 
     tiles_data: jnp.ndarray
@@ -58,6 +69,8 @@ class BsrMat:
     n_row_tiles: int = struct.field(pytree_node=False)
     n_col_tiles: int = struct.field(pytree_node=False)
     tiles_per_program: int = struct.field(pytree_node=False)
+    tiles_lrow: jnp.ndarray | None = None
+    rows_per_program: int = struct.field(pytree_node=False, default=1)
 
     @property
     def n_tiles(self) -> int:
@@ -67,21 +80,69 @@ class BsrMat:
     def n_programs(self) -> int:
         return self.prog_rows.shape[0]
 
+    @property
+    def n_row_groups(self) -> int:
+        return -(-self.n_row_tiles // self.rows_per_program)
+
+
+#: Measured v5e per-(128,128)-f32-tile streaming cost and fixed per-grid-
+#: step cost of the BSR kernels (round-3 TB sweep, tools/bench_bsr_tb.py:
+#: t = 111 ns * tiles + 312 ns * programs fits the resident sweep and
+#: predicts the windowed grid-202k time within 2%). Used by
+#: :func:`choose_program_shape` to pick (tiles_per_program,
+#: rows_per_program) and by the executor cost models.
+BSR_TILE_STREAM_NS = 111.0
+BSR_PROGRAM_NS = 312.0
+
+
+def choose_program_shape(
+    row_tile_counts: np.ndarray,
+    max_tb: int = 16,
+    max_rows_per_program: int = 4,
+) -> tuple[int, int]:
+    """Pick ``(tiles_per_program, rows_per_program)`` minimizing the
+    measured cost model ``padded_tiles * BSR_TILE_STREAM_NS + programs *
+    BSR_PROGRAM_NS`` over the given per-tile-row occupied-tile counts.
+
+    ``max_tb`` bounds the double-buffered A-tile block at 2*TB*64KB VMEM
+    (16 -> 2MB); ``max_rows_per_program`` bounds the accumulator block."""
+    counts = np.asarray(row_tile_counts, dtype=np.int64)
+    best = None
+    for rp in (1, 2, 4, 8):
+        if rp > max_rows_per_program:
+            break
+        pad_rows = (-counts.size) % rp
+        gc = np.pad(counts, (0, pad_rows)).reshape(-1, rp).sum(axis=1)
+        gc = gc[gc > 0]
+        for tb in (2, 4, 8, 16, 32):
+            if tb > max_tb:
+                break
+            padded = int((-(-gc // tb) * tb).sum()) if gc.size else tb
+            progs = max(1, padded // tb)
+            cost = padded * BSR_TILE_STREAM_NS + progs * BSR_PROGRAM_NS
+            if best is None or cost < best[0]:
+                best = (cost, tb, rp)
+    return best[1], best[2]
+
 
 def bsr_from_csr(
     A: sparse.csr_matrix,
     tile_m: int = 128,
     tile_n: int = 128,
     dtype=np.float32,
-    tiles_per_program: int = 8,
+    tiles_per_program: int | None = 8,
+    rows_per_program: int = 1,
 ) -> BsrMat:
-    """Pack a scipy CSR matrix into :class:`BsrMat` (host-side, vectorized)."""
+    """Pack a scipy CSR matrix into :class:`BsrMat` (host-side, vectorized).
+
+    ``tiles_per_program=None`` picks ``(TB, rows_per_program)`` via
+    :func:`choose_program_shape` (the ``rows_per_program`` argument is then
+    ignored)."""
     A = A.tocsr()
     A.sum_duplicates()
     n_rows, n_cols = A.shape
     n_row_tiles = max(1, -(-n_rows // tile_m))
     n_col_tiles = max(1, -(-n_cols // tile_n))
-    TB = tiles_per_program
 
     coo = A.tocoo()
     trow = (coo.row // tile_m).astype(np.int64)
@@ -93,29 +154,44 @@ def bsr_from_csr(
 
     urow = (uniq // n_col_tiles).astype(np.int32)
     ucol = (uniq % n_col_tiles).astype(np.int32)
-    # Tiles per row, padded per row to a multiple of TB.
     row_tile_counts = np.bincount(urow, minlength=n_row_tiles)
-    occupied_rows = np.flatnonzero(row_tile_counts)
-    padded_counts = np.zeros_like(row_tile_counts)
-    padded_counts[occupied_rows] = -(-row_tile_counts[occupied_rows] // TB) * TB
+
+    if tiles_per_program is None:
+        tiles_per_program, rows_per_program = choose_program_shape(
+            row_tile_counts
+        )
+    TB, RP = tiles_per_program, rows_per_program
+    n_groups = -(-n_row_tiles // RP)
+
+    # Tiles per row GROUP, padded per group to a multiple of TB.
+    ugroup = urow // RP
+    group_tile_counts = np.bincount(ugroup, minlength=n_groups)
+    occupied_groups = np.flatnonzero(group_tile_counts)
+    padded_counts = np.zeros_like(group_tile_counts)
+    padded_counts[occupied_groups] = (
+        -(-group_tile_counts[occupied_groups] // TB) * TB
+    )
     T_pad = max(TB, int(padded_counts.sum()))
 
     data = np.zeros((T_pad, tile_m, tile_n), dtype=dtype)
     cols = np.zeros(T_pad, dtype=np.int32)
+    lrows = np.zeros(T_pad, dtype=np.int32)
     prog_rows = np.zeros(T_pad // TB, dtype=np.int32)
     row_occupied = np.zeros(n_row_tiles, dtype=bool)
 
     if uniq.size:
         row_occupied[urow] = True
-        row_offsets = np.concatenate(([0], np.cumsum(padded_counts)))
-        # Slot of each real tile: row offset + rank within row.
-        rank_in_row = np.arange(uniq.size) - np.concatenate(
-            ([0], np.cumsum(row_tile_counts)))[urow]
-        slot = row_offsets[urow] + rank_in_row
+        group_offsets = np.concatenate(([0], np.cumsum(padded_counts)))
+        # Slot of each real tile: group offset + rank within group (tiles
+        # are already sorted by (row, col) within the group).
+        rank_in_group = np.arange(uniq.size) - np.concatenate(
+            ([0], np.cumsum(group_tile_counts)))[ugroup]
+        slot = group_offsets[ugroup] + rank_in_group
         cols[slot] = ucol
-        # Program rows.
-        prow = np.repeat(np.arange(n_row_tiles), padded_counts // TB)
-        prog_rows[:] = prow.astype(np.int32)
+        lrows[slot] = (urow % RP).astype(np.int32)
+        # Program row-group ids.
+        pgrp = np.repeat(np.arange(n_groups), padded_counts // TB)
+        prog_rows[:] = pgrp.astype(np.int32)
         # Scatter nonzeros into tile payloads.
         slot_of_nnz = slot[np.searchsorted(uniq, tid_sorted)]
         lr = coo.row[order] - (trow[order] * tile_m)
@@ -134,11 +210,14 @@ def bsr_from_csr(
         n_row_tiles=n_row_tiles,
         n_col_tiles=n_col_tiles,
         tiles_per_program=TB,
+        tiles_lrow=lrows,
+        rows_per_program=RP,
     )
 
 
-def _make_kernel(TB: int, TN: int, precision):
-    def kernel(prog_rows_ref, cols_ref, a_ref, x_ref, o_ref, acc_ref):
+def _make_kernel(TB: int, TN: int, precision, RP: int = 1, TM: int = 128):
+    def kernel(prog_rows_ref, cols_ref, lrows_ref, a_ref, x_ref, o_ref,
+               acc_ref):
         p = pl.program_id(0)
         n_p = pl.num_programs(0)
         row_here = prog_rows_ref[p]
@@ -154,13 +233,20 @@ def _make_kernel(TB: int, TN: int, precision):
         for r in range(TB):
             col = cols_ref[p * TB + r]
             xb = x_ref[pl.ds(col * TN, TN), :]
-            acc_ref[:] += lax.dot_general(
+            dot = lax.dot_general(
                 a_ref[r].astype(jnp.float32),
                 xb,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
+            if RP == 1:
+                acc_ref[:] += dot
+            else:
+                # Accumulate into this tile's row slot within the group
+                # (dynamic 128-aligned sublane offset).
+                off = lrows_ref[p * TB + r] * TM
+                acc_ref[pl.ds(off, TM), :] += dot
 
         is_last = jnp.logical_or(
             p == n_p - 1, prog_rows_ref[jnp.minimum(p + 1, n_p - 1)] != row_here
@@ -190,37 +276,48 @@ def bsr_spmm(
         interpret = jax.default_backend() == "cpu"
     k = x.shape[1]
     TB, TM, TN = m.tiles_per_program, m.tile_m, m.tile_n
+    RP = m.rows_per_program
     assert x.shape[0] == m.n_col_tiles * TN, (x.shape, m.n_col_tiles * TN)
+    lrow = m.tiles_lrow
+    if lrow is None:
+        lrow = jnp.zeros_like(m.tiles_col)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(m.n_programs,),
         in_specs=[
-            pl.BlockSpec((TB, TM, TN), lambda p, rows, cols: (p, 0, 0)),
+            pl.BlockSpec((TB, TM, TN), lambda p, rows, cols, lrows: (p, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # X fully resident
         ],
-        out_specs=pl.BlockSpec((TM, k), lambda p, rows, cols: (rows[p], 0)),
-        scratch_shapes=[pltpu.VMEM((TM, k), jnp.float32)],
+        out_specs=pl.BlockSpec(
+            (RP * TM, k), lambda p, rows, cols, lrows: (rows[p], 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((RP * TM, k), jnp.float32)],
     )
     out = pl.pallas_call(
-        _make_kernel(TB, TN, precision),
+        _make_kernel(TB, TN, precision, RP, TM),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m.n_row_tiles * TM, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (m.n_row_groups * RP * TM, k), jnp.float32
+        ),
         interpret=interpret,
-    )(m.prog_rows, m.tiles_col, m.tiles_data, x)
+    )(m.prog_rows, m.tiles_col, lrow, m.tiles_data, x)
+    out = out[: m.n_row_tiles * TM]
     # Output blocks of unoccupied tile rows are never written by the kernel:
     # mask them to zero (static mask, elementwise select).
     mask = jnp.repeat(m.row_occupied, TM)[:, None]
     return jnp.where(mask, out, 0.0)
 
 
-def _make_stream_kernel(TB: int, TN: int, precision):
+def _make_stream_kernel(TB: int, TN: int, precision, RP: int = 1,
+                        TM: int = 128):
     """Streaming-X variant: X lives in HBM; each program DMAs the (TN, k)
     X slices its TB tiles need into a double-buffered VMEM scratch, with the
     NEXT program's slices prefetched while this program's dots run."""
 
     def kernel(
-        prog_rows_ref, cols_ref, a_ref, x_ref, o_ref, acc_ref, xbuf_ref, sem_ref
+        prog_rows_ref, cols_ref, lrows_ref, a_ref, x_ref, o_ref, acc_ref,
+        xbuf_ref, sem_ref
     ):
         p = pl.program_id(0)
         n_p = pl.num_programs(0)
@@ -260,13 +357,18 @@ def _make_stream_kernel(TB: int, TN: int, precision):
                 xbuf_ref.at[slot, r],
                 sem_ref.at[slot, r],
             ).wait()
-            acc_ref[:] += lax.dot_general(
+            dot = lax.dot_general(
                 a_ref[r].astype(jnp.float32),
                 xbuf_ref[slot, r],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
+            if RP == 1:
+                acc_ref[:] += dot
+            else:
+                off = lrows_ref[p * TB + r] * TM
+                acc_ref[pl.ds(off, TM), :] += dot
 
         is_last = jnp.logical_or(
             p == n_p - 1, prog_rows_ref[jnp.minimum(p + 1, n_p - 1)] != row_here
@@ -309,26 +411,35 @@ def bsr_spmm_stream(
     if kp != k:
         x = jnp.pad(x, ((0, 0), (0, kp - k)))
 
+    RP = m.rows_per_program
+    lrow = m.tiles_lrow
+    if lrow is None:
+        lrow = jnp.zeros_like(m.tiles_col)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(m.n_programs,),
         in_specs=[
-            pl.BlockSpec((TB, TM, TN), lambda p, rows, cols: (p, 0, 0)),
+            pl.BlockSpec((TB, TM, TN), lambda p, rows, cols, lrows: (p, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # X stays in HBM
         ],
-        out_specs=pl.BlockSpec((TM, kp), lambda p, rows, cols: (rows[p], 0)),
+        out_specs=pl.BlockSpec(
+            (RP * TM, kp), lambda p, rows, cols, lrows: (rows[p], 0)
+        ),
         scratch_shapes=[
-            pltpu.VMEM((TM, kp), jnp.float32),
+            pltpu.VMEM((RP * TM, kp), jnp.float32),
             pltpu.VMEM((2, TB, TN, kp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, TB)),
         ],
     )
     out = pl.pallas_call(
-        _make_stream_kernel(TB, TN, precision),
+        _make_stream_kernel(TB, TN, precision, RP, TM),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m.n_row_tiles * TM, kp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (m.n_row_groups * RP * TM, kp), jnp.float32
+        ),
         interpret=interpret,
-    )(m.prog_rows, m.tiles_col, m.tiles_data, x)
+    )(m.prog_rows, m.tiles_col, lrow, m.tiles_data, x)
+    out = out[: m.n_row_tiles * TM]
     if kp != k:
         out = out[:, :k]
     mask = jnp.repeat(m.row_occupied, TM)[:, None]
@@ -377,32 +488,48 @@ def windowed_bsr_from_csr(
     tile_m: int = 128,
     tile_n: int = 128,
     dtype=np.float32,
-    tiles_per_program: int = 8,
+    tiles_per_program: int | None = None,
+    rows_per_program: int | None = None,
+    residual_shape: tuple[int, int] | None = None,
 ) -> WindowedBsr:
     """Pack a (banded) CSR matrix into :class:`WindowedBsr`.
 
-    Each tile row r gets the aligned window ``floor(median_tile_col(r) /
-    window_tiles)``; nonzeros in tiles outside that window go to the
-    residual matrix. Works for any matrix — it just degrades to mostly
-    residual when the structure is not banded (``windowed_tile_fraction``
-    is the feasibility probe the cost model uses)."""
+    Each ROW GROUP (``rows_per_program`` consecutive tile rows — the unit
+    one program serves) gets the aligned window ``floor(median_tile_col /
+    window_tiles)`` over its nonzero tiles; nonzeros in tiles outside that
+    window go to the residual matrix. Works for any matrix — it just
+    degrades to mostly residual when the structure is not banded
+    (``windowed_tile_fraction`` is the feasibility probe the cost model
+    uses). ``tiles_per_program=None`` (default) picks the program shape via
+    :func:`choose_program_shape` on the row tile counts."""
     A = A.tocsr()
     A.sum_duplicates()
     W = window_tiles
     coo = A.tocoo()
     n_col_tiles = max(1, -(-A.shape[1] // tile_n))
     n_row_tiles = max(1, -(-A.shape[0] // tile_m))
-    win_of_row = _row_windows(coo, tile_m, tile_n, W, n_row_tiles)
-
     trow = (coo.row // tile_m).astype(np.int64)
     tcol = (coo.col // tile_n).astype(np.int64)
-    w = win_of_row[trow]
+
+    if tiles_per_program is None or rows_per_program is None:
+        tid = trow * n_col_tiles + tcol
+        urow = (np.unique(tid) // n_col_tiles).astype(np.int64)
+        counts = np.bincount(urow, minlength=n_row_tiles)
+        auto_tb, auto_rp = choose_program_shape(counts)
+        if tiles_per_program is None:
+            tiles_per_program = auto_tb
+        if rows_per_program is None:
+            rows_per_program = auto_rp
+    RP = rows_per_program
+
+    win_of_group = _group_windows(coo, tile_m, tile_n, W, n_row_tiles, RP)
+    w = win_of_group[trow // RP]
     in_win = (tcol >= w * W) & (tcol < (w + 1) * W)
 
     def pick(mask, shift_cols):
         cols = coo.col[mask]
         if shift_cols:
-            cols = cols - (win_of_row[trow[mask]] * W * tile_n)
+            cols = cols - (win_of_group[trow[mask] // RP] * W * tile_n)
         M = sparse.csr_matrix(
             (coo.data[mask], (coo.row[mask], cols)),
             shape=(A.shape[0], A.shape[1] if not shift_cols else W * tile_n),
@@ -412,19 +539,23 @@ def windowed_bsr_from_csr(
 
     # The inner matrix lives in window-local coordinates: its column space
     # is exactly one window, so bsr_from_csr emits local tile ids directly
-    # (pad tiles get local col 0 — in-bounds, zero payload).
+    # (pad tiles get local col 0 — in-bounds, zero payload). Its grouping
+    # MUST match the window assignment's (rows_per_program=RP).
     inner = bsr_from_csr(
-        pick(in_win, True), tile_m, tile_n, dtype, tiles_per_program
+        pick(in_win, True), tile_m, tile_n, dtype, tiles_per_program,
+        rows_per_program=RP,
     )
     # Restore the true dimensions (inner's column space is the window).
     inner = inner.replace(n_cols=A.shape[1], n_col_tiles=n_col_tiles)
     residual = None
     if not in_win.all():
+        r_tb, r_rp = residual_shape if residual_shape else (None, None)
         residual = bsr_from_csr(
-            pick(~in_win, False), tile_m, tile_n, dtype, tiles_per_program
+            pick(~in_win, False), tile_m, tile_n, dtype, r_tb,
+            rows_per_program=r_rp if r_rp is not None else 1,
         )
-    prog_win = win_of_row[np.asarray(inner.prog_rows)].astype(np.int32)
-    n_windows = int(win_of_row.max()) + 1 if win_of_row.size else 1
+    prog_win = win_of_group[np.asarray(inner.prog_rows)].astype(np.int32)
+    n_windows = int(win_of_group.max()) + 1 if win_of_group.size else 1
     return WindowedBsr(
         inner=inner,
         prog_win=jnp.asarray(prog_win),
@@ -434,19 +565,21 @@ def windowed_bsr_from_csr(
     )
 
 
-def _row_windows(coo, tile_m, tile_n, W, n_row_tiles) -> np.ndarray:
-    """Aligned window id per tile row: floor(median tile col / W)."""
-    win = np.zeros(n_row_tiles, dtype=np.int64)
+def _group_windows(coo, tile_m, tile_n, W, n_row_tiles, RP=1) -> np.ndarray:
+    """Aligned window id per row GROUP (RP consecutive tile rows):
+    floor(median tile col of the group's nonzero tiles / W)."""
+    n_groups = -(-n_row_tiles // RP)
+    win = np.zeros(n_groups, dtype=np.int64)
     if coo.nnz == 0:
         return win
-    trow = (coo.row // tile_m).astype(np.int64)
+    tgrp = (coo.row // (tile_m * RP)).astype(np.int64)
     tcol = (coo.col // tile_n).astype(np.int64)
-    order = np.lexsort((tcol, trow))
-    tr, tc = trow[order], tcol[order]
-    starts = np.searchsorted(tr, np.arange(n_row_tiles), side="left")
-    ends = np.searchsorted(tr, np.arange(n_row_tiles), side="right")
+    order = np.lexsort((tcol, tgrp))
+    tg, tc = tgrp[order], tcol[order]
+    starts = np.searchsorted(tg, np.arange(n_groups), side="left")
+    ends = np.searchsorted(tg, np.arange(n_groups), side="right")
     occupied = ends > starts
-    med = np.zeros(n_row_tiles, dtype=np.int64)
+    med = np.zeros(n_groups, dtype=np.int64)
     med[occupied] = tc[(starts + (ends - starts) // 2).clip(max=tc.size - 1)][
         occupied
     ]
@@ -461,13 +594,14 @@ def windowed_tile_fraction(
     tile_n: int = 128,
 ) -> float:
     """Fraction of nonzeros whose tile fits its row's aligned window (the
-    same nnz-median window choice :func:`windowed_bsr_from_csr` makes) —
+    same nnz-median window choice :func:`windowed_bsr_from_csr` makes, at
+    rows_per_program=1 — a slightly optimistic probe for grouped packs) —
     the cost model's cheap feasibility probe for :class:`WindowedBsr`."""
     coo = A.tocoo()
     if coo.nnz == 0:
         return 1.0
     n_row_tiles = max(1, -(-A.shape[0] // tile_m))
-    win = _row_windows(coo, tile_m, tile_n, window_tiles, n_row_tiles)
+    win = _group_windows(coo, tile_m, tile_n, window_tiles, n_row_tiles)
     trow = (coo.row // tile_m).astype(np.int64)
     tcol = (coo.col // tile_n).astype(np.int64)
     w = win[trow]
@@ -475,13 +609,15 @@ def windowed_tile_fraction(
     return float(ok.mean())
 
 
-def _make_window_kernel(TB: int, TN: int, precision):
-    base = _make_kernel(TB, TN, precision)
+def _make_window_kernel(TB: int, TN: int, precision, RP: int = 1,
+                        TM: int = 128):
+    base = _make_kernel(TB, TN, precision, RP, TM)
 
-    def kernel(prog_rows_ref, cols_ref, win_ref, a_ref, x_ref, o_ref, acc_ref):
+    def kernel(prog_rows_ref, cols_ref, lrows_ref, win_ref, a_ref, x_ref,
+               o_ref, acc_ref):
         # win_ref only drives the X BlockSpec index_map; compute is identical.
         del win_ref
-        base(prog_rows_ref, cols_ref, a_ref, x_ref, o_ref, acc_ref)
+        base(prog_rows_ref, cols_ref, lrows_ref, a_ref, x_ref, o_ref, acc_ref)
 
     return kernel
 
@@ -510,22 +646,35 @@ def bsr_spmm_window(
             [x, jnp.zeros((n_pad - x.shape[0], k), x.dtype)], axis=0
         )
 
+    RP = b.rows_per_program
+    lrow = b.tiles_lrow
+    if lrow is None:
+        lrow = jnp.zeros_like(b.tiles_col)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b.n_programs,),
         in_specs=[
-            pl.BlockSpec((TB, TM, TN), lambda p, rows, cols, win: (p, 0, 0)),
-            pl.BlockSpec((W * TN, k), lambda p, rows, cols, win: (win[p], 0)),
+            pl.BlockSpec(
+                (TB, TM, TN), lambda p, rows, cols, lrows, win: (p, 0, 0)
+            ),
+            pl.BlockSpec(
+                (W * TN, k), lambda p, rows, cols, lrows, win: (win[p], 0)
+            ),
         ],
-        out_specs=pl.BlockSpec((TM, k), lambda p, rows, cols, win: (rows[p], 0)),
-        scratch_shapes=[pltpu.VMEM((TM, k), jnp.float32)],
+        out_specs=pl.BlockSpec(
+            (RP * TM, k), lambda p, rows, cols, lrows, win: (rows[p], 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((RP * TM, k), jnp.float32)],
     )
     out = pl.pallas_call(
-        _make_window_kernel(TB, TN, precision),
+        _make_window_kernel(TB, TN, precision, RP, TM),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b.n_row_tiles * TM, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b.n_row_groups * RP * TM, k), jnp.float32
+        ),
         interpret=interpret,
-    )(b.prog_rows, b.tiles_col, m.prog_win, b.tiles_data, x)
+    )(b.prog_rows, b.tiles_col, lrow, m.prog_win, b.tiles_data, x)
+    out = out[: b.n_row_tiles * TM]
     mask = jnp.repeat(b.row_occupied, TM)[:, None]
     out = jnp.where(mask, out, 0.0)
     if m.residual is not None:
@@ -543,6 +692,10 @@ def _pad_stack_bsr(mats: list[BsrMat], dtype=np.float32) -> BsrMat:
     preserved in prog_rows."""
     tile_m, tile_n = mats[0].tile_m, mats[0].tile_n
     TB = mats[0].tiles_per_program
+    RP = mats[0].rows_per_program
+    assert all(
+        m.tiles_per_program == TB and m.rows_per_program == RP for m in mats
+    ), "stacked BsrMats must share one (tiles_per_program, rows_per_program)"
     T = max(m.n_tiles for m in mats)
     P = T // TB
     n_row_tiles = max(m.n_row_tiles for m in mats)
@@ -553,19 +706,22 @@ def _pad_stack_bsr(mats: list[BsrMat], dtype=np.float32) -> BsrMat:
         data[:t0] = np.asarray(m.tiles_data)
         cols = np.zeros(T, dtype=np.int32)
         cols[:t0] = np.asarray(m.tiles_col)
+        lrows = np.zeros(T, dtype=np.int32)
+        if m.tiles_lrow is not None:
+            lrows[:t0] = np.asarray(m.tiles_lrow)
         rows = np.asarray(m.prog_rows)
         prog = np.full(P, rows[-1] if rows.size else 0, dtype=np.int32)
         prog[: rows.size] = rows
         occ = np.zeros(n_row_tiles, dtype=bool)
         occ[: m.n_row_tiles] = np.asarray(m.row_occupied)
-        return data, cols, prog, occ
+        return data, cols, lrows, prog, occ
 
     padded = [pad_mat(m) for m in mats]
     return BsrMat(
         tiles_data=np.stack([p[0] for p in padded]),
         tiles_col=np.stack([p[1] for p in padded]),
-        prog_rows=np.stack([p[2] for p in padded]),
-        row_occupied=np.stack([p[3] for p in padded]),
+        prog_rows=np.stack([p[3] for p in padded]),
+        row_occupied=np.stack([p[4] for p in padded]),
         n_rows=max(m.n_rows for m in mats),
         n_cols=max(m.n_cols for m in mats),
         tile_m=tile_m,
@@ -573,7 +729,29 @@ def _pad_stack_bsr(mats: list[BsrMat], dtype=np.float32) -> BsrMat:
         n_row_tiles=n_row_tiles,
         n_col_tiles=max(m.n_col_tiles for m in mats),
         tiles_per_program=TB,
+        tiles_lrow=np.stack([p[2] for p in padded]),
+        rows_per_program=RP,
     )
+
+
+def _stack_program_shape(blocks, tile_m, tile_n):
+    """One (TB, RP) choice for a whole stack of blocks: concatenate every
+    block's per-tile-row occupied-tile counts and optimize jointly (stacked
+    mats must share one program shape)."""
+    all_counts = []
+    for b in blocks:
+        coo = b.tocoo()
+        n_row_tiles = max(1, -(-b.shape[0] // tile_m))
+        n_col_tiles = max(1, -(-b.shape[1] // tile_n))
+        if coo.nnz:
+            tid = (coo.row // tile_m).astype(np.int64) * n_col_tiles + (
+                coo.col // tile_n
+            )
+            urow = (np.unique(tid) // n_col_tiles).astype(np.int64)
+            all_counts.append(np.bincount(urow, minlength=n_row_tiles))
+        else:
+            all_counts.append(np.zeros(n_row_tiles, dtype=np.int64))
+    return choose_program_shape(np.concatenate(all_counts))
 
 
 def stack_bsr_from_csr(
@@ -581,12 +759,22 @@ def stack_bsr_from_csr(
     tile_m: int = 128,
     tile_n: int = 128,
     dtype=np.float32,
-    tiles_per_program: int = 8,
+    tiles_per_program: int | None = 8,
+    rows_per_program: int | None = None,
 ) -> BsrMat:
     """Build a (q, ...)-stacked BsrMat from CSR blocks with a COMMON static
-    tile count, for per-device execution under shard_map."""
+    tile count, for per-device execution under shard_map.
+    ``tiles_per_program=None`` picks one (TB, RP) for the whole stack."""
+    if tiles_per_program is None or rows_per_program is None:
+        auto_tb, auto_rp = _stack_program_shape(blocks, tile_m, tile_n)
+        if tiles_per_program is None:
+            tiles_per_program = auto_tb
+        if rows_per_program is None:
+            rows_per_program = auto_rp
     mats = [
-        bsr_from_csr(b, tile_m, tile_n, dtype, tiles_per_program) for b in blocks
+        bsr_from_csr(b, tile_m, tile_n, dtype, tiles_per_program,
+                     rows_per_program)
+        for b in blocks
     ]
     return _pad_stack_bsr(mats, dtype)
 
@@ -597,16 +785,23 @@ def stack_windowed_from_csr(
     tile_m: int = 128,
     tile_n: int = 128,
     dtype=np.float32,
-    tiles_per_program: int = 8,
+    tiles_per_program: int | None = None,
 ) -> WindowedBsr:
     """Build a (q, ...)-stacked :class:`WindowedBsr` from CSR blocks with
     COMMON static shapes (inner/residual tile counts, window count), for
     per-device execution under shard_map — the no-residency banded kernel at
     production block widths. Residual is kept unless EVERY block's tiles fit
-    their windows (an all-zero stacked residual would still stream)."""
+    their windows (an all-zero stacked residual would still stream).
+    One (TB, RP) program shape is chosen for the whole stack (stacked mats
+    must share it); residuals are packed at the fixed shape (8, 1)."""
+    auto_tb, auto_rp = _stack_program_shape(blocks, tile_m, tile_n)
+    if tiles_per_program is not None:
+        auto_tb = tiles_per_program
     wms = [
         windowed_bsr_from_csr(
-            b, window_tiles, tile_m, tile_n, dtype, tiles_per_program
+            b, window_tiles, tile_m, tile_n, dtype,
+            tiles_per_program=auto_tb, rows_per_program=auto_rp,
+            residual_shape=(8, 1),
         )
         for b in blocks
     ]
@@ -630,7 +825,7 @@ def stack_windowed_from_csr(
             [
                 w.residual
                 if w.residual is not None
-                else bsr_from_csr(empty, tile_m, tile_n, dtype, tiles_per_program)
+                else bsr_from_csr(empty, tile_m, tile_n, dtype, 8, 1)
                 for w in wms
             ],
             dtype,

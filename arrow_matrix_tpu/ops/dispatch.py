@@ -211,6 +211,9 @@ def local_slice(m):
             tiles_col=m.tiles_col[0],
             prog_rows=m.prog_rows[0],
             row_occupied=m.row_occupied[0],
+            tiles_lrow=(
+                m.tiles_lrow[0] if m.tiles_lrow is not None else None
+            ),
         )
     if isinstance(m, CompactEll):
         return m.replace(inner=local_slice(m.inner), row_map=m.row_map[0])
@@ -235,6 +238,9 @@ def take_block(m, j: int):
             tiles_col=m.tiles_col[j],
             prog_rows=m.prog_rows[j],
             row_occupied=m.row_occupied[j],
+            tiles_lrow=(
+                m.tiles_lrow[j] if m.tiles_lrow is not None else None
+            ),
         )
     if isinstance(m, CompactEll):
         return m.replace(inner=take_block(m.inner, j), row_map=m.row_map[j])

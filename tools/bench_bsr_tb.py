@@ -85,26 +85,36 @@ if MODE in ("window", "both"):
                                      width, q)
     Bt, padded, applied = rcm_refine_merged(Bt, padded, "auto")
     print(f"n={n} nnz={nnz} rcm={applied}", flush=True)
-    ref = None
     for k in (K, 128):
         n_pad = (-(-Bt.shape[1] // 128)) * 128
         x_h = np.random.default_rng(0).standard_normal(
             (n_pad, k)).astype(np.float32)
         ref = Bt @ x_h[: Bt.shape[1]]
         x = jnp.asarray(x_h)
-        for TB in (8, 16, 32):
+        for tb, rp, dty in (
+            (8, 1, np.float32),      # round-2 baseline shape
+            (4, 1, np.float32),      # halve pad tiles
+            (8, 2, np.float32),
+            (16, 4, np.float32),     # zero pad + 4x fewer programs
+            (None, None, np.float32),  # auto (choose_program_shape)
+            (None, None, jnp.bfloat16),
+        ):
             wm = windowed_bsr_from_csr(Bt, window_tiles=64,
-                                       tiles_per_program=TB)
+                                       tiles_per_program=tb,
+                                       rows_per_program=rp, dtype=dty)
             res_t = wm.residual.n_tiles if wm.residual is not None else 0
             wm_d = jax.device_put(wm)
             y = np.asarray(bsr_spmm_window(wm_d, x,
                                            interpret=False))[: Bt.shape[0]]
             err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-30)
+            shape = (f"TB={wm.inner.tiles_per_program} "
+                     f"RP={wm.inner.rows_per_program} "
+                     f"{np.dtype(dty).name}")
             dt = bench(
                 lambda m, xx: bsr_spmm_window(m, xx,
                                               interpret=False)[: xx.shape[0]],
                 wm_d, x,
-                tag=f"window TB={TB} k={k} T={wm.inner.n_tiles}+{res_t} "
+                tag=f"window {shape} k={k} T={wm.inner.n_tiles}+{res_t} "
                     f"P={wm.inner.n_programs} err={err:.1e}")
             total_t = wm.inner.n_tiles + res_t
             print(f"  nnz/s={nnz/dt/1e6:.1f}M ns/tile={dt/total_t*1e9:.0f} "
