@@ -887,10 +887,12 @@ def tile_density_stats(A: sparse.csr_matrix, tile_m: int = 128, tile_n: int = 12
     return occ, int(coo.nnz), coo.nnz / occ
 
 
-#: Calibrated v5e cost constants for the two BSR execution modes. The
-#: streaming kernel stays out of the cost model until measured on hardware
-#: (``None`` disables it); once calibrated, set its ns/tile here.
-BSR_NS_PER_TILE = 85.0
+#: Calibrated v5e cost constants for the BSR execution modes (round-3
+#: hardware runs, tools/bench_bsr_stream.py + tools/bench_bsr_tb.py).
+#: Resident kernel: the round-3 TB sweep regression gives ~111 ns per
+#: (128,128) f32 tile (the round-1 82-85 ns figure was flattered by relay
+#: noise on a short kernel).
+BSR_NS_PER_TILE = 111.0
 
 #: Gather-ELL cost-model constants shared by every format gate (here, next
 #: to the BSR tile constants, so a recalibration updates ALL selectors at
@@ -902,10 +904,17 @@ ELL_SLOT_PAD_FACTOR = 1.25
 #: windowed kernel (stream re-fetches X per tile; windowed fetches each
 #: window ~once on banded operators).
 BSR_STREAM_FALLBACK_FACTOR = 4.0
-BSR_STREAM_NS_PER_TILE: float | None = None
-#: ns/tile of the windowed kernel's in-window tiles (X window amortized);
-#: None keeps the windowed executor out of auto-selection until measured.
-BSR_WINDOW_NS_PER_TILE: float | None = None
+#: Measured round 3 (v5e, ER 8192^2 phase-a): 317 ns/tile at TB=8/RP=1
+#: (2.19x the resident kernel — the per-tile X slice DMA is not fully
+#: hidden behind the dots).
+BSR_STREAM_NS_PER_TILE: float | None = 320.0
+#: ns/tile of the windowed kernel's in-window tiles (X window amortized),
+#: measured round 3 on the RCM grid-202k operator at the auto program
+#: shape (TB=16, RP=4): 1.63 ms / 6.7k tiles = 243 ns/tile END TO END
+#: (includes window DMA, output writes, and the grid-step overhead the
+#: shape chooser already minimizes) -> 496 M nnz/s, 1.65x the region
+#: executor on the same operator.
+BSR_WINDOW_NS_PER_TILE: float | None = 250.0
 
 
 def preferred_format(

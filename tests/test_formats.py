@@ -320,17 +320,23 @@ def test_bsr_apply_stream_mode_matches_resident():
     np.testing.assert_allclose(y_str, ref, rtol=1e-5, atol=1e-5)
 
 
-def test_preferred_format_stream_unlocks_oversized_bsr():
+def test_preferred_format_stream_unlocks_oversized_bsr(monkeypatch):
+    import arrow_matrix_tpu.ops.bsr_pallas as bp
     from arrow_matrix_tpu.ops.bsr_pallas import preferred_format
 
     # Dense-tiled matrix whose operand exceeds any residency budget:
-    # resident-only cost model must say 'ell', stream-aware must say 'bsr'.
+    # without a calibrated streaming kernel the model must say 'ell';
+    # with one (the shipped default since round 3) it unlocks 'bsr'.
     n = 4096
     diags = [np.ones(n)] * 129
     A = sparse.diags(diags, list(range(-64, 65)), shape=(n, n),
                      format="csr", dtype=np.float32)
     budget = 1 << 20  # force infeasibility at this n
+    monkeypatch.setattr(bp, "BSR_STREAM_NS_PER_TILE", None)
     assert preferred_format(A, 16, x_vmem_budget_bytes=budget) == "ell"
     assert preferred_format(
         A, 16, x_vmem_budget_bytes=budget, bsr_stream_ns_per_tile=170.0
     ) == "bsr"
+    # Shipped calibration unlocks it by default.
+    monkeypatch.setattr(bp, "BSR_STREAM_NS_PER_TILE", 320.0)
+    assert preferred_format(A, 16, x_vmem_budget_bytes=budget) == "bsr"
