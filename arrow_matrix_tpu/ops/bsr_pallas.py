@@ -71,6 +71,10 @@ class BsrMat:
     tiles_per_program: int = struct.field(pytree_node=False)
     tiles_lrow: jnp.ndarray | None = None
     rows_per_program: int = struct.field(pytree_node=False, default=1)
+    #: Static shortcut: every tile row holds at least one tile, so the
+    #: kernel writes the whole output and the row_occupied mask pass (a
+    #: full-output read+write, ~0.26ms at 202k rows) can be skipped.
+    all_occupied: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_tiles(self) -> int:
@@ -212,6 +216,7 @@ def bsr_from_csr(
         tiles_per_program=TB,
         tiles_lrow=lrows,
         rows_per_program=RP,
+        all_occupied=bool(row_occupied.all()),
     )
 
 
@@ -303,6 +308,8 @@ def bsr_spmm(
         interpret=interpret,
     )(m.prog_rows, m.tiles_col, lrow, m.tiles_data, x)
     out = out[: m.n_row_tiles * TM]
+    if m.all_occupied:
+        return out
     # Output blocks of unoccupied tile rows are never written by the kernel:
     # mask them to zero (static mask, elementwise select).
     mask = jnp.repeat(m.row_occupied, TM)[:, None]
@@ -442,6 +449,8 @@ def bsr_spmm_stream(
     out = out[: m.n_row_tiles * TM]
     if kp != k:
         out = out[:, :k]
+    if m.all_occupied:
+        return out
     mask = jnp.repeat(m.row_occupied, TM)[:, None]
     return jnp.where(mask, out, 0.0)
 
@@ -675,8 +684,9 @@ def bsr_spmm_window(
         interpret=interpret,
     )(b.prog_rows, b.tiles_col, lrow, m.prog_win, b.tiles_data, x)
     out = out[: b.n_row_tiles * TM]
-    mask = jnp.repeat(b.row_occupied, TM)[:, None]
-    out = jnp.where(mask, out, 0.0)
+    if not b.all_occupied:
+        mask = jnp.repeat(b.row_occupied, TM)[:, None]
+        out = jnp.where(mask, out, 0.0)
     if m.residual is not None:
         r = bsr_spmm_stream(m.residual, x[: m.residual.n_col_tiles * TN],
                             interpret=interpret, precision=precision)
@@ -731,6 +741,9 @@ def _pad_stack_bsr(mats: list[BsrMat], dtype=np.float32) -> BsrMat:
         tiles_per_program=TB,
         tiles_lrow=np.stack([p[2] for p in padded]),
         rows_per_program=RP,
+        all_occupied=all(
+            m.all_occupied and m.n_row_tiles == n_row_tiles for m in mats
+        ),
     )
 
 

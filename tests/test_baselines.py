@@ -99,10 +99,12 @@ def test_bsr_k_tiling_matches_untiled():
     np.testing.assert_allclose(np.asarray(tiled), A @ X, rtol=1e-4, atol=1e-4)
 
 
-def test_preferred_format_k_tiled_bsr():
+def test_preferred_format_k_tiled_bsr(monkeypatch):
     # A dense-tiled matrix whose wide operand overflows VMEM must STILL pick
-    # bsr (k-tiling in 128-column units), but when even one lane-padded tile
-    # cannot fit, it must fall back to ell.
+    # bsr (k-tiling in 128-column units). When even one lane-padded tile
+    # cannot be resident, the calibrated STREAMING kernel (round 3) keeps
+    # bsr; without calibration the model must fall back to ell.
+    import arrow_matrix_tpu.ops.bsr_pallas as bp
     from arrow_matrix_tpu.ops.bsr_pallas import preferred_format
     from scipy import sparse as sp
 
@@ -111,7 +113,10 @@ def test_preferred_format_k_tiled_bsr():
     assert preferred_format(A, 128) == "bsr"
     # k=512 at a budget of exactly one 128-lane tile: k-tiled BSR.
     assert preferred_format(A, 512, x_vmem_budget_bytes=512 * 128 * 4) == "bsr"
-    # One lane-padded tile (rows x 128 x 4B) over budget: infeasible.
+    # One lane-padded tile (rows x 128 x 4B) over budget: residency
+    # infeasible — streaming BSR (dense tiles beat the ell slot cost).
+    assert preferred_format(A, 16, x_vmem_budget_bytes=512 * 64 * 4) == "bsr"
+    monkeypatch.setattr(bp, "BSR_STREAM_NS_PER_TILE", None)
     assert preferred_format(A, 16, x_vmem_budget_bytes=512 * 64 * 4) == "ell"
 
 
