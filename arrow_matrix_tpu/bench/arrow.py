@@ -43,6 +43,7 @@ def bench_spmm(
     profile: bool = False,
     mode: str = "auto",
     state_dtype: str = "float32",
+    validate: bool = False,
 ) -> dict:
     """Run the iterated arrow SpMM benchmark; returns summary statistics.
 
@@ -65,6 +66,11 @@ def bench_spmm(
         routing wire bytes (plan/memory.py) at ~bf16 rounding per level
         per iteration. Single-chip executors ignore it (their state is
         one buffer, not the capacity bottleneck).
+    :param validate: full gather-and-compare of one device product against
+        the host golden ``compute_spmm`` (the reference's 1.5D ``--validate``
+        applied to the arrow path, scripts/spmm_15d_main.py:156-223); the
+        relative error is printed, recorded in the stats, and raised on if
+        above 1e-2.
     """
     devices = jax.devices()
     n_devices = n_devices or len(devices)
@@ -161,6 +167,34 @@ def bench_spmm(
         else:
             step = lambda x: jitted(dplan, x)
 
+    if validate:
+        from arrow_matrix_tpu.decomposition.arrow import compute_spmm
+        from arrow_matrix_tpu.io.graphio import as_csr
+
+        n_rows = as_csr(decomposition[0][0]).shape[0]
+        Xv = random_dense(n_rows, features, seed=seed + 2)
+        golden = compute_spmm(
+            [(as_csr(m), np.asarray(p)) for m, p in decomposition], Xv
+        )
+        if n_devices > 1:
+            got = runner.collect(runner.step(runner.distribute(Xv)))
+        else:
+            perm0 = np.asarray(plan.permutations[0])
+            mask = perm0 < n_rows
+            Xp = np.zeros((plan.padded_rows, features), np.float32)
+            Xp[mask] = Xv[perm0[mask]]
+            y = np.asarray(jitted(dplan, jnp.asarray(Xp)))
+            got = np.zeros_like(Xv)
+            got[perm0[mask]] = y[mask]
+        rel = float(
+            np.abs(got - golden).max() / max(np.abs(golden).max(), 1e-30)
+        )
+        print(f"validate: max rel err {rel:.3e}", flush=True)
+        metrics.log({"validate_rel_err": rel})
+        if rel > 1e-2:
+            metrics.finish(log_dir)
+            raise CollectiveAbort(f"validation failed: rel err {rel:.3e}")
+
     # Warm-up / compile.
     x = step(x)
     jax.block_until_ready(x)
@@ -193,6 +227,8 @@ def bench_spmm(
         "levels": len(decomposition),
         "log_path": log_path,
     }
+    if validate:
+        stats["validate_rel_err"] = rel
     if n_devices > 1:
         # Exact per-device communication volume of the distributed program
         # (the reference's headline O(width*k) claim, README.md:3).

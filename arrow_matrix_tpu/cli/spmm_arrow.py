@@ -41,6 +41,9 @@ def main(argv=None):
                    default="float32",
                    help="multi-device iteration-state dtype; bfloat16 halves "
                         "per-device state HBM and routing wire bytes")
+    p.add_argument("--validate", type=str2bool, default=False,
+                   help="full gather-and-compare of one device product vs "
+                        "the host compute_spmm golden before timing")
     p.add_argument("--log_dir", type=str, default="./logs")
     args = p.parse_args(argv)
 
@@ -59,6 +62,7 @@ def main(argv=None):
         profile=args.profile,
         mode=args.mode,
         state_dtype=args.state_dtype,
+        validate=args.validate,
     )
     print(json.dumps(stats))
 
