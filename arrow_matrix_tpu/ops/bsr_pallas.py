@@ -388,11 +388,23 @@ def _make_stream_kernel(TB: int, TN: int, precision, RP: int = 1,
     return kernel
 
 
+def _group_mask(m: BsrMat) -> jnp.ndarray:
+    """(n_row_groups * RP * TM, 1) bool mask of rows whose tile row holds at
+    least one tile; group-pad tile rows (always written as zeros or never
+    written inside an unoccupied group) are masked off too."""
+    RP, TM = m.rows_per_program, m.tile_m
+    occ = jnp.pad(
+        m.row_occupied, (0, m.n_row_groups * RP - m.n_row_tiles)
+    )
+    return jnp.repeat(occ, TM)[:, None]
+
+
 def bsr_spmm_stream(
     m: BsrMat,
     x: jnp.ndarray,
     interpret: bool | None = None,
     precision=lax.Precision.HIGHEST,
+    raw: bool = False,
 ) -> jnp.ndarray:
     """``Y = A @ X`` with X STREAMED from HBM per tile (no VMEM residency
     requirement — any operand height). Same contract as :func:`bsr_spmm`.
@@ -446,6 +458,14 @@ def bsr_spmm_stream(
         ),
         interpret=interpret,
     )(m.prog_rows, m.tiles_col, lrow, m.tiles_data, x)
+    if raw:
+        # Group-padded output for callers that fuse the epilogue themselves
+        # (slice/mask/add) — see bsr_spmm_window.
+        if kp != k:
+            out = out[:, :k]
+        if not m.all_occupied:
+            out = jnp.where(_group_mask(m), out, 0.0)
+        return out
     out = out[: m.n_row_tiles * TM]
     if kp != k:
         out = out[:, :k]
@@ -558,11 +578,19 @@ def windowed_bsr_from_csr(
     inner = inner.replace(n_cols=A.shape[1], n_col_tiles=n_col_tiles)
     residual = None
     if not in_win.all():
-        r_tb, r_rp = residual_shape if residual_shape else (None, None)
+        # The residual MUST share the inner's row grouping so both kernels'
+        # group-padded outputs have identical shapes (their add then fuses
+        # with the final slice — see bsr_spmm_window); only TB may differ.
+        r_tb = residual_shape[0] if residual_shape else None
         residual = bsr_from_csr(
             pick(~in_win, False), tile_m, tile_n, dtype, r_tb,
-            rows_per_program=r_rp if r_rp is not None else 1,
+            rows_per_program=RP,
         )
+        if residual.rows_per_program != RP:  # auto chooser overrode it
+            residual = bsr_from_csr(
+                pick(~in_win, False), tile_m, tile_n, dtype,
+                residual.tiles_per_program, rows_per_program=RP,
+            )
     prog_win = win_of_group[np.asarray(inner.prog_rows)].astype(np.int32)
     n_windows = int(win_of_group.max()) + 1 if win_of_group.size else 1
     return WindowedBsr(
@@ -636,20 +664,30 @@ def bsr_spmm_window(
     x: jnp.ndarray,
     interpret: bool | None = None,
     precision=lax.Precision.HIGHEST,
+    raw: bool = False,
 ) -> jnp.ndarray:
     """``Y = A @ X`` for a banded matrix with X windows streamed from HBM
     (no VMEM residency bound; each window fetched ~once on banded
-    structure). Same contract as :func:`bsr_spmm`."""
+    structure). Same contract as :func:`bsr_spmm`.
+
+    ``x`` may be pre-padded to the window-padded height
+    ``n_windows * window_tiles * tile_n`` (:func:`window_padded_rows`) —
+    the zero-copy fast path the single-chip step uses; otherwise it is
+    padded here. With ``raw=True`` the group-padded
+    (n_row_groups * RP * TM, k) output is returned unsliced so the caller
+    can fuse the epilogue (slice + downstream add) into one pass.
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     x = x.astype(jnp.float32)
     k = x.shape[1]
     b = m.inner
     TB, TM, TN, W = b.tiles_per_program, b.tile_m, b.tile_n, m.window_tiles
-    assert x.shape[0] == b.n_col_tiles * TN, (x.shape, b.n_col_tiles * TN)
     # Pad X to whole windows so the last window's block read stays in bounds
     # (garbage-padded OOB reads could inject inf/NaN into zero-payload dots).
-    n_pad = m.n_windows * W * TN
+    n_pad = max(m.n_windows * W * TN, b.n_col_tiles * TN)
+    assert x.shape[0] in (b.n_col_tiles * TN, n_pad), (
+        x.shape, b.n_col_tiles * TN, n_pad)
     if n_pad > x.shape[0]:
         x = jnp.concatenate(
             [x, jnp.zeros((n_pad - x.shape[0], k), x.dtype)], axis=0
@@ -683,16 +721,29 @@ def bsr_spmm_window(
         ),
         interpret=interpret,
     )(b.prog_rows, b.tiles_col, lrow, m.prog_win, b.tiles_data, x)
-    out = out[: b.n_row_tiles * TM]
     if not b.all_occupied:
-        mask = jnp.repeat(b.row_occupied, TM)[:, None]
-        out = jnp.where(mask, out, 0.0)
+        out = jnp.where(_group_mask(b), out, 0.0)
     if m.residual is not None:
+        # The residual shares the inner's row grouping (enforced at pack
+        # time), so both outputs have identical group-padded shapes and the
+        # add + final slice fuse into ONE elementwise pass (at 1M rows the
+        # separate slices + add cost ~5ms of a 15ms step, profiled).
         r = bsr_spmm_stream(m.residual, x[: m.residual.n_col_tiles * TN],
-                            interpret=interpret, precision=precision)
+                            interpret=interpret, precision=precision,
+                            raw=True)
         assert r.shape == out.shape, (r.shape, out.shape)
         out = out + r
-    return out
+    if raw:
+        return out
+    return out[: b.n_row_tiles * TM]
+
+
+def window_padded_rows(m: WindowedBsr) -> int:
+    """Operand height of the zero-copy windowed fast path."""
+    return max(
+        m.n_windows * m.window_tiles * m.inner.tile_n,
+        m.inner.n_col_tiles * m.inner.tile_n,
+    )
 
 
 def _pad_stack_bsr(mats: list[BsrMat], dtype=np.float32) -> BsrMat:
@@ -838,7 +889,8 @@ def stack_windowed_from_csr(
             [
                 w.residual
                 if w.residual is not None
-                else bsr_from_csr(empty, tile_m, tile_n, dtype, 8, 1)
+                else bsr_from_csr(empty, tile_m, tile_n, dtype, 8,
+                                  rows_per_program=auto_rp)
                 for w in wms
             ],
             dtype,

@@ -309,8 +309,14 @@ def windowed_apply(
     """Windowed-BSR SpMM with row padding of the operand (no VMEM residency
     bound; X windows stream from HBM, fetched ~once each on banded
     structure). Features beyond 128 columns run in lane-width k-tiles so the
-    double-buffered window blocks stay within VMEM."""
-    n_pad = m.inner.n_col_tiles * m.inner.tile_n
+    double-buffered window blocks stay within VMEM.
+
+    The operand is padded ONCE to the window-padded height (covering both
+    the column-tile and whole-window bounds) so bsr_spmm_window adds no
+    second pad copy."""
+    from arrow_matrix_tpu.ops.bsr_pallas import window_padded_rows
+
+    n_pad = window_padded_rows(m)
     pad = n_pad - x.shape[0]
     if pad > 0:
         x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)

@@ -286,6 +286,12 @@ def compile_single_chip(
         # even when the region executor wins.
         wm = maybe_windowed(Bt, k_hint)
         if wm is not None:
+            from arrow_matrix_tpu.ops.bsr_pallas import window_padded_rows
+
+            # State lives at the window-padded height so local_step's
+            # zero-copy fast path engages (identity-padded permutations
+            # keep the layout contract).
+            padded = max(q * width, window_padded_rows(wm))
             plan = LocalArrowPlan(
                 levels=(
                     LocalLevel(
@@ -299,8 +305,10 @@ def compile_single_chip(
                 ),
                 width=width,
                 n_rows=n,
-                padded_rows=q * width,
-                permutations=tuple(padded_perms),
+                padded_rows=padded,
+                permutations=tuple(
+                    pad_permutation(p, padded) for p in padded_perms
+                ),
             )
             return plan, local_step
         plan = region_plan_from_merged(
@@ -370,6 +378,30 @@ def local_step(plan: LocalArrowPlan, x: jnp.ndarray) -> jnp.ndarray:
     """
     k = x.shape[1]
     lvl0 = plan.levels[0]
+    if len(plan.levels) == 1 and lvl0.fmt == "window" and k <= 128:
+        from arrow_matrix_tpu.ops.bsr_pallas import (
+            bsr_spmm_window,
+            window_padded_rows,
+        )
+
+        if x.shape[0] == window_padded_rows(lvl0.mat):
+            # Zero-copy fast path for the merged windowed plan: the state
+            # lives at the window-padded height (compile_single_chip sets
+            # padded_rows accordingly), so the kernel consumes it directly
+            # and the only epilogue is one pad of the group-padded raw
+            # output back to the state height. The generic path below costs
+            # three extra full-size copies per step (operand pad + output
+            # slice + result pad — ~5ms of a 15ms step at 1M rows,
+            # profiled in tools/profile_window.py).
+            raw = bsr_spmm_window(lvl0.mat, x, raw=True)
+            pad = plan.padded_rows - raw.shape[0]
+            if pad > 0:
+                raw = jnp.concatenate(
+                    [raw, jnp.zeros((pad, k), raw.dtype)], axis=0
+                )
+            elif pad < 0:
+                raw = raw[: plan.padded_rows]
+            return raw.astype(x.dtype)
     c0 = _apply(lvl0, x[: lvl0.cut])
     pad0 = plan.padded_rows - lvl0.cut
     c = (
