@@ -152,10 +152,17 @@ def bench_spmm(
         # (reference: arrow/arrow_mpi.py:196-299).
         step = runner.step_phased if profile else runner.step
     else:
+        from arrow_matrix_tpu.parallel.local import state_cols
+
         dplan = jax.device_put(plan)
-        x = jnp.asarray(
-            rng.random((plan.padded_rows, features), dtype=np.float32)
+        # Lane-padded iteration state for the windowed fast path (zero
+        # extra physical bytes; removes the per-step logical lane pads).
+        cols = state_cols(plan, features)
+        xh = np.zeros((plan.padded_rows, cols), np.float32)
+        xh[:, :features] = rng.random(
+            (plan.padded_rows, features), dtype=np.float32
         )
+        x = jnp.asarray(xh)
         jitted = jax.jit(step_fn)
         if profile:
             # Single chip has no comm phases: the whole step is the kernel.

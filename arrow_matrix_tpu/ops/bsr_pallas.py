@@ -420,7 +420,10 @@ def bsr_spmm_stream(
     x = x.astype(jnp.float32)
     k = x.shape[1]
     TB, TM, TN = m.tiles_per_program, m.tile_m, m.tile_n
-    assert x.shape[0] == m.n_col_tiles * TN, (x.shape, m.n_col_tiles * TN)
+    # Taller operands are allowed: tile column ids stay < n_col_tiles, so
+    # rows beyond are simply never DMA'd (lets bsr_spmm_window pass its
+    # window-padded operand through without a slice copy).
+    assert x.shape[0] >= m.n_col_tiles * TN, (x.shape, m.n_col_tiles * TN)
     # Mosaic's memref_slice (the manual DMA source/dest) must be 128-aligned
     # along lanes; a k<128 operand is physically lane-padded to 128 anyway,
     # so pad it logically too and slice the result back — no extra in-kernel
@@ -728,7 +731,7 @@ def bsr_spmm_window(
         # time), so both outputs have identical group-padded shapes and the
         # add + final slice fuse into ONE elementwise pass (at 1M rows the
         # separate slices + add cost ~5ms of a 15ms step, profiled).
-        r = bsr_spmm_stream(m.residual, x[: m.residual.n_col_tiles * TN],
+        r = bsr_spmm_stream(m.residual, x,
                             interpret=interpret, precision=precision,
                             raw=True)
         assert r.shape == out.shape, (r.shape, out.shape)

@@ -44,8 +44,12 @@ def run(plan, x, iters):
 
 
 run = jax.jit(run, static_argnums=2)
-x = jnp.asarray(np.random.default_rng(0).standard_normal(
-    (plan.padded_rows, K), dtype=np.float32))
+from arrow_matrix_tpu.parallel.local import state_cols
+cols = state_cols(plan, K)
+xh = np.zeros((plan.padded_rows, cols), np.float32)
+xh[:, :K] = np.random.default_rng(0).standard_normal(
+    (plan.padded_rows, K), dtype=np.float32)
+x = jnp.asarray(xh)
 sync(run(plan, x, 1))
 sync(run(plan, x, 20))
 
