@@ -148,7 +148,10 @@ def _level_spmm(
 
 
 def _route_forward(
-    rt: ShardedRouteTables, x_loc: jnp.ndarray, x0_full: jnp.ndarray
+    rt: ShardedRouteTables,
+    x_loc: jnp.ndarray,
+    x0_full: jnp.ndarray,
+    axis=AXIS,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Re-shard features from level-0 order into a level's order
     (reference: arrow_dec_mpi.py:507-610 ``_propagate_features_forwards``).
@@ -163,7 +166,7 @@ def _route_forward(
     k = x_loc.shape[1]
     xp = _zero_pad_rows(x_loc)  # (w+1, k)
     send = jnp.take(xp, rt.fwd_send, axis=0)  # (q, Mf, k)
-    recv = lax.all_to_all(send, AXIS, 0, 0)  # recv[s] = from device s
+    recv = lax.all_to_all(send, axis, 0, 0)  # recv[s] = from device s
     buf = jnp.concatenate(
         [x_loc, x0_full, recv.reshape(-1, k), jnp.zeros((1, k), x_loc.dtype)],
         axis=0,
@@ -176,7 +179,10 @@ def _route_forward(
 
 
 def _route_backward(
-    rt: ShardedRouteTables, c_loc: jnp.ndarray, c0_shard: jnp.ndarray
+    rt: ShardedRouteTables,
+    c_loc: jnp.ndarray,
+    c0_shard: jnp.ndarray,
+    axis=AXIS,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Aggregate a level's partial results back into level-0 order
     (reference: arrow_dec_mpi.py:404-505 ``_aggregate_features_backwards``).
@@ -191,7 +197,7 @@ def _route_backward(
         [c_loc, c0_shard, jnp.zeros((1, k), c_loc.dtype)], axis=0
     )
     send = jnp.take(payload, rt.bwd_send, axis=0)  # (q, Mb, k)
-    recv = lax.all_to_all(send, AXIS, 0, 0)
+    recv = lax.all_to_all(send, axis, 0, 0)
     buf = jnp.concatenate(
         [payload[:-1], recv.reshape(-1, k), jnp.zeros((1, k), c_loc.dtype)],
         axis=0,

@@ -70,6 +70,9 @@ class ArrowPlan:
     n_blocks: int = struct.field(pytree_node=False)  # q = mesh size
     n_rows: int = struct.field(pytree_node=False)  # original matrix dimension
     block_diagonal: bool = struct.field(pytree_node=False)
+    # Fat layout: panels row-split over this many devices per block
+    # (leaves stacked q*row_split half-major; see compile_plan).
+    row_split: int = struct.field(pytree_node=False, default=1)
     # Padded per-level permutations (data leaves; used host-side for
     # distribute/collect, tiny on device).
     permutations: tuple = ()
@@ -194,6 +197,7 @@ def extract_levels(
     block_diagonal: bool = True,
     routing_pad_multiple: int = 8,
     routes: tuple = ("classic", "sharded"),
+    row_split: int = 1,
 ) -> tuple[list, tuple, int]:
     """Cut every level of a decomposition into arrow blocks and build the
     inter-level routing tables — the format-independent part of plan
@@ -364,6 +368,7 @@ def extract_levels(
                     q,
                     cut=q_i * width,
                     pad_multiple=routing_pad_multiple,
+                    row_split=row_split,
                 )
 
         banded = not block_diagonal
@@ -392,6 +397,7 @@ def compile_plan(
     routing_pad_multiple: int = 8,
     k_hint: int = 16,
     force_format: str | None = None,
+    row_split: int = 1,
 ) -> ArrowPlan:
     """Compile a decomposition into an :class:`ArrowPlan` for a mesh with
     ``n_devices`` devices on the block axis.
@@ -399,13 +405,25 @@ def compile_plan(
     :param decomposition: list of (csr_matrix, permutation) or ArrowGraph.
     :param width: arrow width used for the decomposition (block size).
     :param n_devices: devices on the block axis; must cover level 0's blocks.
+    :param row_split: split every block's panels by OUTPUT rows over this
+        many extra mesh devices (the fat layout, ``q * row_split`` devices
+        total) — the TPU-native generalization of the reference's 2q−1-rank
+        fat layout (reference: arrow/arrow_mpi.py:26-93): per-device matrix
+        and block-state bytes scale 1/row_split. Panels are stacked
+        HALF-major (leaf ``s = h*q + j`` holds rows ``[h*w_loc, (h+1)*w_loc)``
+        of block j's panels) to match :class:`parallel.fat.FatArrowSpmm`'s
+        ``P(("half", "block"))`` shardings. Requires ``width % row_split == 0``.
     :raises ValueError: if a level's nonzeros fall outside the arrow block
         structure (head panels + diagonal ± band) or need more blocks than
         devices.
     """
+    if row_split > 1 and width % row_split:
+        raise ValueError(
+            f"width {width} not divisible by row_split {row_split}"
+        )
     raw_levels, padded_perms, n = extract_levels(
         decomposition, width, n_devices, block_diagonal, routing_pad_multiple,
-        routes=("sharded",),
+        routes=("sharded",), row_split=row_split,
     )
 
     def build_role(blocks):
@@ -434,15 +452,35 @@ def compile_plan(
             return stack_compact_ells_from_csr(blocks, slots_per_row)
         return stack_ells_from_csr(blocks, slots_per_row)
 
+    def split_rows(blocks):
+        """(width, width) panels, length q -> (w_loc, width) row slices,
+        length q*row_split, HALF-major (s = h*q + j)."""
+        if row_split == 1:
+            return blocks
+        w_loc = width // row_split
+        return [
+            b[h * w_loc : (h + 1) * w_loc]
+            for h in range(row_split)
+            for b in blocks
+        ]
+
     levels = []
     for raw in raw_levels:
         levels.append(
             LevelPlan(
-                head=build_role(raw.head),
-                diag=build_role(raw.diag),
-                col=build_role(raw.col),
-                band_lo=build_role(raw.band_lo) if raw.band_lo is not None else None,
-                band_hi=build_role(raw.band_hi) if raw.band_hi is not None else None,
+                head=build_role(split_rows(raw.head)),
+                diag=build_role(split_rows(raw.diag)),
+                col=build_role(split_rows(raw.col)),
+                band_lo=(
+                    build_role(split_rows(raw.band_lo))
+                    if raw.band_lo is not None
+                    else None
+                ),
+                band_hi=(
+                    build_role(split_rows(raw.band_hi))
+                    if raw.band_hi is not None
+                    else None
+                ),
                 route=raw.route_sharded,
                 n_active_blocks=raw.n_active_blocks,
             )
@@ -455,4 +493,5 @@ def compile_plan(
         n_rows=n,
         block_diagonal=block_diagonal,
         permutations=tuple(padded_perms),
+        row_split=row_split,
     )

@@ -152,30 +152,37 @@ def routed_rows_per_pair(rt: RouteTables) -> np.ndarray:
 @struct.dataclass
 class ShardedRouteTables:
     """Routing for the sharded-head step: block-0 rows of BOTH orders are
-    sharded over all q devices (``w_q = ceil(width / q)`` rows each); block-j
-    rows (j >= 1) live whole on device j. Block-0 SOURCE rows are replicated
-    on every device after the step's ``all_gather`` and are never sent — the
-    receive side reads them from the local replica.
+    sharded over all devices (``w_q`` rows each); block-j rows (j >= 1) live
+    on the block-j device(s). Block-0 SOURCE rows are replicated on every
+    device after the step's ``all_gather`` and are never sent — the receive
+    side reads them from the local replica.
+
+    With ``row_split = r > 1`` (the fat layout, parallel/fat.py) every block
+    is further split by rows over r devices: ``D = q*r`` devices linearized
+    HALF-major (device ``s = h*q + j`` holds rows ``[h*w_loc, (h+1)*w_loc)``
+    of block j, ``w_loc = width // r``), and block 0 is sharded ``w_q =
+    ceil(width / D)`` rows per device. Slim is the ``r = 1`` special case
+    (``D = q``, ``w_loc = width``).
 
     Forward (features, level-0 -> level-i order):
 
-    * ``fwd_send``: int32 (q, q, Mf) — ``fwd_send[s, d, m]`` = row of source
-      device s's local block (``width`` = padding) for slot m to device d.
-    * ``fwd_gather``: int32 (q, width) — per device d, the buffer index of
-      its level-i BLOCK d row r' in
-      ``[x_loc (width) ; x0_full (w0 = q*w_q) ; recv (q*Mf) ; zero]``.
-    * ``fwd0_gather``: int32 (q, w_q) — same buffer, for device d's SHARD of
+    * ``fwd_send``: int32 (D, D, Mf) — ``fwd_send[s, d, m]`` = row of source
+      device s's local block slice (``w_loc`` = padding) for slot m to d.
+    * ``fwd_gather``: int32 (D, w_loc) — per device d, the buffer index of
+      its level-i local block rows in
+      ``[x_loc (w_loc) ; x0_full (w0 = D*w_q) ; recv (D*Mf) ; zero]``.
+    * ``fwd0_gather``: int32 (D, w_q) — same buffer, for device d's SHARD of
       level-i block 0.
 
     Backward (partial results, level-i -> level-0 order): the per-device
-    payload is ``[c_loc (width) ; c0_shard (w_q) ; zero]``.
+    payload is ``[c_loc (w_loc) ; c0_shard (w_q) ; zero]``.
 
-    * ``bwd_send``: int32 (q, q, Mb) — payload index for slot m from level-i
-      owner dd to level-0 owner ss (``width + w_q`` = padding).
-    * ``bwd_gather``: int32 (q, width) — per device s, the index of its
-      level-0 BLOCK s row r in ``[payload (width + w_q) ; recv (q*Mb) ;
+    * ``bwd_send``: int32 (D, D, Mb) — payload index for slot m from level-i
+      owner dd to level-0 owner ss (``w_loc + w_q`` = padding).
+    * ``bwd_gather``: int32 (D, w_loc) — per device s, the index of its
+      level-0 local block rows in ``[payload (w_loc + w_q) ; recv (D*Mb) ;
       zero]``; unrouted rows read the zero row.
-    * ``bwd0_gather``: int32 (q, w_q) — same buffer, for device s's shard of
+    * ``bwd0_gather``: int32 (D, w_q) — same buffer, for device s's shard of
       level-0 block 0.
     """
 
@@ -190,6 +197,12 @@ class ShardedRouteTables:
     max_fwd: int = struct.field(pytree_node=False)
     max_bwd: int = struct.field(pytree_node=False)
     cut: int = struct.field(pytree_node=False)
+    row_split: int = struct.field(pytree_node=False, default=1)
+
+    @property
+    def w_loc(self) -> int:
+        """Local block rows per device (= width in the slim layout)."""
+        return self.width // self.row_split
 
 
 def build_sharded_route_tables(
@@ -198,13 +211,21 @@ def build_sharded_route_tables(
     n_blocks: int,
     cut: int | None = None,
     pad_multiple: int = 8,
+    row_split: int = 1,
 ) -> ShardedRouteTables:
     """Build :class:`ShardedRouteTables` from a position mapping (same
-    conventions as :func:`build_route_tables`)."""
+    conventions as :func:`build_route_tables`). ``row_split = r > 1``
+    builds the fat-layout tables over ``q*r`` half-major devices."""
     q = n_blocks
     N = q * width
-    w_q = -(-width // q)
-    w0 = q * w_q
+    if width % row_split:
+        raise ValueError(
+            f"width {width} not divisible by row_split {row_split}"
+        )
+    w_loc = width // row_split
+    D = q * row_split  # linear device count (half-major: s = h*q + j)
+    w_q = -(-width // D)
+    w0 = D * w_q
     dst_to_src = np.asarray(dst_to_src, dtype=np.int64)
     assert dst_to_src.size == N
     if cut is None:
@@ -214,7 +235,12 @@ def build_sharded_route_tables(
     assert (p_src < N).all() and (p_src >= 0).all()
 
     def owner(p):
-        return np.where(p < width, p // w_q, p // width)
+        half = (p % width) // w_loc
+        return np.where(p < width, p // w_q, half * q + p // width)
+
+    def lrow(p):
+        """Row of p within its owner's local block slice."""
+        return (p % width) % w_loc
 
     src_own = owner(p_src)
     dst_own = owner(p_dst)
@@ -225,42 +251,42 @@ def build_sharded_route_tables(
     # Sent rows: src outside block 0 AND owners differ.
     f_remote = (~src_in_b0) & (src_own != dst_own)
     fs, fd = src_own[f_remote], dst_own[f_remote]
-    f_srcrow = (p_src[f_remote] % width).astype(np.int64)
+    f_srcrow = lrow(p_src[f_remote]).astype(np.int64)
     f_dstpos = p_dst[f_remote]
     order = np.lexsort((f_dstpos, fd, fs))
     fs, fd, f_srcrow, f_dstpos = fs[order], fd[order], f_srcrow[order], f_dstpos[order]
-    pair = fs * q + fd
-    counts = np.bincount(pair, minlength=q * q)
+    pair = fs * D + fd
+    counts = np.bincount(pair, minlength=D * D)
     Mf = int(counts.max()) if counts.size else 0
     Mf = max(1, -(-Mf // pad_multiple) * pad_multiple)
 
-    fwd_send = np.full((q, q, Mf), width, dtype=np.int32)
-    fwd_zero = width + w0 + q * Mf
-    fwd_gather = np.full((q, width), fwd_zero, dtype=np.int32)
-    fwd0_gather = np.full((q, w_q), fwd_zero, dtype=np.int32)
+    fwd_send = np.full((D, D, Mf), w_loc, dtype=np.int32)
+    fwd_zero = w_loc + w0 + D * Mf
+    fwd_gather = np.full((D, w_loc), fwd_zero, dtype=np.int32)
+    fwd0_gather = np.full((D, w_q), fwd_zero, dtype=np.int32)
 
     def fwd_set(dst_pos, value):
         """Write into fwd_gather/fwd0_gather at the receiver-local position
         of destination row dst_pos."""
         d = owner(dst_pos)
         b0 = dst_pos < width
-        r_blk = dst_pos % width
+        r_blk = lrow(dst_pos)
         r_shd = dst_pos - d * w_q
         fwd_gather[d[~b0], r_blk[~b0]] = value[~b0]
         fwd0_gather[d[b0], r_shd[b0]] = value[b0]
 
-    # Replica reads: src in block 0 -> x0_full section at width + p_src.
+    # Replica reads: src in block 0 -> x0_full section at w_loc + p_src.
     rep = src_in_b0
-    fwd_set(p_dst[rep], (width + p_src[rep]).astype(np.int32))
-    # Local reads: src outside block 0, same owner -> x_loc at p_src % width.
+    fwd_set(p_dst[rep], (w_loc + p_src[rep]).astype(np.int32))
+    # Local reads: src outside block 0, same owner -> x_loc at its local row.
     loc = (~src_in_b0) & (src_own == dst_own)
-    fwd_set(p_dst[loc], (p_src[loc] % width).astype(np.int32))
+    fwd_set(p_dst[loc], lrow(p_src[loc]).astype(np.int32))
     # Remote slots.
     if fs.size:
         starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
         slot = np.arange(fs.size, dtype=np.int64) - starts[pair]
         fwd_send[fs, fd, slot] = f_srcrow
-        fwd_set(f_dstpos, (width + w0 + fs * Mf + slot).astype(np.int32))
+        fwd_set(f_dstpos, (w_loc + w0 + fs * Mf + slot).astype(np.int32))
 
     # ---------------------------------------------------------- backward
     # Every routed pair flows back: level-i owner (dd) -> level-0 owner (ss).
@@ -270,28 +296,28 @@ def build_sharded_route_tables(
     b_srcpos = p_src[b_remote]
     order = np.lexsort((b_srcpos, ss, dd))
     dd, ss, b_dstpos, b_srcpos = dd[order], ss[order], b_dstpos[order], b_srcpos[order]
-    pair_b = dd * q + ss
-    counts_b = np.bincount(pair_b, minlength=q * q)
+    pair_b = dd * D + ss
+    counts_b = np.bincount(pair_b, minlength=D * D)
     Mb = int(counts_b.max()) if counts_b.size else 0
     Mb = max(1, -(-Mb // pad_multiple) * pad_multiple)
 
-    payload_pad = width + w_q
-    bwd_send = np.full((q, q, Mb), payload_pad, dtype=np.int32)
-    bwd_zero = payload_pad + q * Mb
-    bwd_gather = np.full((q, width), bwd_zero, dtype=np.int32)
-    bwd0_gather = np.full((q, w_q), bwd_zero, dtype=np.int32)
+    payload_pad = w_loc + w_q
+    bwd_send = np.full((D, D, Mb), payload_pad, dtype=np.int32)
+    bwd_zero = payload_pad + D * Mb
+    bwd_gather = np.full((D, w_loc), bwd_zero, dtype=np.int32)
+    bwd0_gather = np.full((D, w_q), bwd_zero, dtype=np.int32)
 
     def payload_index(dst_pos):
         """Index of level-i row dst_pos inside its owner's payload."""
         d = owner(dst_pos)
         return np.where(
-            dst_pos < width, width + (dst_pos - d * w_q), dst_pos % width
+            dst_pos < width, w_loc + (dst_pos - d * w_q), lrow(dst_pos)
         ).astype(np.int64)
 
     def bwd_set(src_pos, value):
         s = owner(src_pos)
         b0 = src_pos < width
-        r_blk = src_pos % width
+        r_blk = lrow(src_pos)
         r_shd = src_pos - s * w_q
         bwd_gather[s[~b0], r_blk[~b0]] = value[~b0]
         bwd0_gather[s[b0], r_shd[b0]] = value[b0]
@@ -317,6 +343,7 @@ def build_sharded_route_tables(
         max_fwd=Mf,
         max_bwd=Mb,
         cut=cut,
+        row_split=row_split,
     )
 
 
@@ -325,6 +352,6 @@ def sharded_routed_rows_per_pair(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Diagnostics: actual rows per (src, dst) pair in the forward and
     backward exchanges."""
-    fwd = (np.asarray(rt.fwd_send) != rt.width).sum(axis=-1)
-    bwd = (np.asarray(rt.bwd_send) != rt.width + rt.w_q).sum(axis=-1)
+    fwd = (np.asarray(rt.fwd_send) != rt.w_loc).sum(axis=-1)
+    bwd = (np.asarray(rt.bwd_send) != rt.w_loc + rt.w_q).sum(axis=-1)
     return fwd, bwd
