@@ -388,14 +388,13 @@ def _make_stream_kernel(TB: int, TN: int, precision, RP: int = 1,
     return kernel
 
 
-def _group_mask(m: BsrMat) -> jnp.ndarray:
-    """(n_row_groups * RP * TM, 1) bool mask of rows whose tile row holds at
-    least one tile; group-pad tile rows (always written as zeros or never
-    written inside an unoccupied group) are masked off too."""
+def _group_mask(m: BsrMat, n_out: int | None = None) -> jnp.ndarray:
+    """(n_out, 1) bool mask of rows whose tile row holds at least one tile;
+    group-pad tile rows and rows beyond the group grid (never written, i.e.
+    uninitialized when ``out_rows`` overhangs) are masked off too."""
     RP, TM = m.rows_per_program, m.tile_m
-    occ = jnp.pad(
-        m.row_occupied, (0, m.n_row_groups * RP - m.n_row_tiles)
-    )
+    n_out = m.n_row_groups * RP * TM if n_out is None else n_out
+    occ = jnp.pad(m.row_occupied, (0, n_out // TM - m.n_row_tiles))
     return jnp.repeat(occ, TM)[:, None]
 
 
@@ -405,6 +404,7 @@ def bsr_spmm_stream(
     interpret: bool | None = None,
     precision=lax.Precision.HIGHEST,
     raw: bool = False,
+    out_rows: int | None = None,
 ) -> jnp.ndarray:
     """``Y = A @ X`` with X STREAMED from HBM per tile (no VMEM residency
     requirement — any operand height). Same contract as :func:`bsr_spmm`.
@@ -434,6 +434,13 @@ def bsr_spmm_stream(
         x = jnp.pad(x, ((0, 0), (0, kp - k)))
 
     RP = m.rows_per_program
+    group_rows = m.n_row_groups * RP * TM
+    # Raw callers may ask for a taller output (the iteration-state height)
+    # so the epilogue needs no row pad; rows beyond the group grid are never
+    # written by any program (uninitialized) — the caller zeroes/masks them.
+    n_out = group_rows if out_rows is None else out_rows
+    assert n_out >= group_rows and n_out % (RP * TM) == 0, (
+        n_out, group_rows, RP * TM)
     lrow = m.tiles_lrow
     if lrow is None:
         lrow = jnp.zeros_like(m.tiles_col)
@@ -456,9 +463,7 @@ def bsr_spmm_stream(
     out = pl.pallas_call(
         _make_stream_kernel(TB, TN, precision, RP, TM),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (m.n_row_groups * RP * TM, kp), jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct((n_out, kp), jnp.float32),
         interpret=interpret,
     )(m.prog_rows, m.tiles_col, lrow, m.tiles_data, x)
     if raw:
@@ -467,7 +472,7 @@ def bsr_spmm_stream(
         if kp != k:
             out = out[:, :k]
         if not m.all_occupied:
-            out = jnp.where(_group_mask(m), out, 0.0)
+            out = jnp.where(_group_mask(m, n_out), out, 0.0)
         return out
     out = out[: m.n_row_tiles * TM]
     if kp != k:
@@ -668,6 +673,7 @@ def bsr_spmm_window(
     interpret: bool | None = None,
     precision=lax.Precision.HIGHEST,
     raw: bool = False,
+    out_rows: int | None = None,
 ) -> jnp.ndarray:
     """``Y = A @ X`` for a banded matrix with X windows streamed from HBM
     (no VMEM residency bound; each window fetched ~once on banded
@@ -688,8 +694,9 @@ def bsr_spmm_window(
     TB, TM, TN, W = b.tiles_per_program, b.tile_m, b.tile_n, m.window_tiles
     # Pad X to whole windows so the last window's block read stays in bounds
     # (garbage-padded OOB reads could inject inf/NaN into zero-payload dots).
+    # Taller pre-padded operands (the state height) pass through untouched.
     n_pad = max(m.n_windows * W * TN, b.n_col_tiles * TN)
-    assert x.shape[0] in (b.n_col_tiles * TN, n_pad), (
+    assert x.shape[0] == b.n_col_tiles * TN or x.shape[0] >= n_pad, (
         x.shape, b.n_col_tiles * TN, n_pad)
     if n_pad > x.shape[0]:
         x = jnp.concatenate(
@@ -716,16 +723,18 @@ def bsr_spmm_window(
         ),
         scratch_shapes=[pltpu.VMEM((RP * TM, k), jnp.float32)],
     )
+    group_rows = b.n_row_groups * RP * TM
+    n_out = group_rows if out_rows is None else out_rows
+    assert n_out >= group_rows and n_out % (RP * TM) == 0, (
+        n_out, group_rows, RP * TM)
     out = pl.pallas_call(
         _make_window_kernel(TB, TN, precision, RP, TM),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (b.n_row_groups * RP * TM, k), jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct((n_out, k), jnp.float32),
         interpret=interpret,
     )(b.prog_rows, b.tiles_col, lrow, m.prog_win, b.tiles_data, x)
     if not b.all_occupied:
-        out = jnp.where(_group_mask(b), out, 0.0)
+        out = jnp.where(_group_mask(b, n_out), out, 0.0)
     if m.residual is not None:
         # The residual shares the inner's row grouping (enforced at pack
         # time), so both outputs have identical group-padded shapes and the
@@ -733,20 +742,31 @@ def bsr_spmm_window(
         # separate slices + add cost ~5ms of a 15ms step, profiled).
         r = bsr_spmm_stream(m.residual, x,
                             interpret=interpret, precision=precision,
-                            raw=True)
+                            raw=True, out_rows=n_out)
         assert r.shape == out.shape, (r.shape, out.shape)
         out = out + r
+    if n_out > group_rows:
+        # Rows beyond the group grid are written by no program
+        # (uninitialized unless a mask pass above already zeroed them);
+        # one small dynamic_update_slice guarantees a zero tail either way.
+        out = lax.dynamic_update_slice(
+            out, jnp.zeros((n_out - group_rows, k), out.dtype),
+            (group_rows, 0),
+        )
     if raw:
         return out
     return out[: b.n_row_tiles * TM]
 
 
 def window_padded_rows(m: WindowedBsr) -> int:
-    """Operand height of the zero-copy windowed fast path."""
-    return max(
-        m.n_windows * m.window_tiles * m.inner.tile_n,
-        m.inner.n_col_tiles * m.inner.tile_n,
-    )
+    """Operand (and raw-output) height of the zero-copy windowed fast path:
+    the whole-window input bound, rounded up to the output's program-group
+    unit so the kernel can emit the state height directly (no epilogue row
+    pad)."""
+    b = m.inner
+    unit = b.rows_per_program * b.tile_m
+    H = max(m.n_windows * m.window_tiles * b.tile_n, b.n_col_tiles * b.tile_n)
+    return -(-H // unit) * unit
 
 
 def _pad_stack_bsr(mats: list[BsrMat], dtype=np.float32) -> BsrMat:

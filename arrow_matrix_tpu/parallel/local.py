@@ -288,10 +288,13 @@ def compile_single_chip(
         if wm is not None:
             from arrow_matrix_tpu.ops.bsr_pallas import window_padded_rows
 
-            # State lives at the window-padded height so local_step's
-            # zero-copy fast path engages (identity-padded permutations
-            # keep the layout contract).
+            # State lives at the window-padded height (rounded to the
+            # kernel's program-group unit) so local_step's zero-copy fast
+            # path engages (identity-padded permutations keep the layout
+            # contract).
+            unit = wm.inner.rows_per_program * wm.inner.tile_m
             padded = max(q * width, window_padded_rows(wm))
+            padded = -(-padded // unit) * unit
             plan = LocalArrowPlan(
                 levels=(
                     LocalLevel(
@@ -403,25 +406,23 @@ def local_step(plan: LocalArrowPlan, x: jnp.ndarray) -> jnp.ndarray:
             window_padded_rows,
         )
 
-        if x.shape[0] == window_padded_rows(lvl0.mat):
+        unit = lvl0.mat.inner.rows_per_program * lvl0.mat.inner.tile_m
+        if (
+            x.shape[0] == plan.padded_rows
+            and x.shape[0] >= window_padded_rows(lvl0.mat)
+            and x.shape[0] % unit == 0
+        ):
             # Zero-copy fast path for the merged windowed plan: the state
             # lives at the window-padded height (compile_single_chip sets
-            # padded_rows accordingly), so the kernel consumes it directly
-            # and the only epilogue is one pad of the group-padded raw
-            # output back to the state height. The generic path below costs
-            # three extra full-size copies per step (operand pad + output
-            # slice + result pad — ~5ms of a 15ms step at 1M rows,
+            # padded_rows accordingly), the kernel consumes it directly AND
+            # emits the state height (out_rows), so the step has no
+            # full-size plumbing copies at all. The generic path below
+            # costs three extra full-size copies per step (operand pad +
+            # output slice + result pad — ~5ms of a 15ms step at 1M rows,
             # profiled in tools/profile_window.py).
-            raw = bsr_spmm_window(lvl0.mat, x, raw=True)
-            pad = plan.padded_rows - raw.shape[0]
-            if pad > 0:
-                # lax.pad fuses with the residual add upstream (a
-                # concatenate here stays a separate full-size copy pass).
-                raw = jax.lax.pad(
-                    raw, jnp.zeros((), raw.dtype), ((0, pad, 0), (0, 0, 0))
-                )
-            elif pad < 0:
-                raw = raw[: plan.padded_rows]
+            raw = bsr_spmm_window(
+                lvl0.mat, x, raw=True, out_rows=plan.padded_rows
+            )
             return raw.astype(x.dtype)
     c0 = _apply(lvl0, x[: lvl0.cut])
     pad0 = plan.padded_rows - lvl0.cut

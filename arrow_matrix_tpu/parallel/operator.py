@@ -130,6 +130,12 @@ class ArrowOperator:
             jf, jb = jax.jit(local_step), jax.jit(local_step)
             step_f = lambda x: jf(dpf, x)
             step_b = lambda x: jb(dpb, x)
+            # Exposed so callers embedding the step in an OUTER jit (e.g.
+            # an iterated fori_loop benchmark) can pass the plans as
+            # arguments — closing over them inlines tens of MB of format
+            # arrays as HLO constants (the relay's compile endpoint
+            # rejects such programs with HTTP 413).
+            self.device_plan_f, self.device_plan_b = dpf, dpb
             self._perm0 = np.asarray(padded_perms[0])
             self._padded_rows = plan_f.padded_rows
             self._fwd = self._bwd = None

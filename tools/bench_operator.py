@@ -32,19 +32,27 @@ xs = op.distribute(random_dense(N, K, seed=3))
 ws = op.distribute(random_dense(N, K, seed=4))
 
 
-def timed(fn, x):
-    """Differenced 1- vs N-iteration timing (relay dispatch cost ~15-40ms)."""
-    run = jax.jit(lambda x, n: jax.lax.fori_loop(0, n, lambda i, v: fn(v), x),
-                  static_argnums=1)
-    sync(run(x, 1))
-    sync(run(x, ITERS))
-    tic = time.perf_counter(); sync(run(x, 1)); t1 = time.perf_counter() - tic
-    tic = time.perf_counter(); sync(run(x, ITERS)); tn = time.perf_counter() - tic
+def timed(fn, x, *plans):
+    """Differenced 1- vs N-iteration timing (relay dispatch cost ~15-40ms).
+    Plans ride as jit ARGUMENTS: closing over them would inline the format
+    arrays as HLO constants and blow the relay's compile body limit (413)."""
+    run = jax.jit(
+        lambda x, n, *p: jax.lax.fori_loop(0, n, lambda i, v: fn(v, *p), x),
+        static_argnums=1,
+    )
+    sync(run(x, 1, *plans))
+    sync(run(x, ITERS, *plans))
+    tic = time.perf_counter(); sync(run(x, 1, *plans)); t1 = time.perf_counter() - tic
+    tic = time.perf_counter(); sync(run(x, ITERS, *plans)); tn = time.perf_counter() - tic
     return max((tn - t1) / (ITERS - 1), 1e-9)
 
 
-fwd = timed(op.apply, xs)
-bwd = timed(lambda g: jax.vjp(op.apply, xs)[1](g)[0], ws)
+from arrow_matrix_tpu.parallel.local import local_step
+
+fwd = timed(lambda v, p: local_step(p, v), xs, op.device_plan_f)
+# The operator's VJP is the transpose plan's step (custom_vjp); time it
+# directly with the plan as an argument.
+bwd = timed(lambda v, p: local_step(p, v), ws, op.device_plan_b)
 
 # Correctness spot check on-device.
 err = float(np.abs(op.collect(op.apply(xs)) - A @ op.collect(xs)).max())
