@@ -317,15 +317,23 @@ def bsr_spmm(
 
 
 def _make_stream_kernel(TB: int, TN: int, precision, RP: int = 1,
-                        TM: int = 128):
+                        TM: int = 128, accumulate: bool = False):
     """Streaming-X variant: X lives in HBM; each program DMAs the (TN, k)
     X slices its TB tiles need into a double-buffered VMEM scratch, with the
-    NEXT program's slices prefetched while this program's dots run."""
+    NEXT program's slices prefetched while this program's dots run.
+
+    With ``accumulate`` an extra y operand (same block mapping as the
+    output, aliased to it in-place) is added at flush time — the fused
+    "C += A @ X" the windowed executor uses to fold the residual into the
+    window result without a separate full-size add pass."""
 
     def kernel(
-        prog_rows_ref, cols_ref, lrows_ref, a_ref, x_ref, o_ref, acc_ref,
-        xbuf_ref, sem_ref
+        prog_rows_ref, cols_ref, lrows_ref, a_ref, x_ref, *refs
     ):
+        if accumulate:
+            y_ref, o_ref, acc_ref, xbuf_ref, sem_ref = refs
+        else:
+            o_ref, acc_ref, xbuf_ref, sem_ref = refs
         p = pl.program_id(0)
         n_p = pl.num_programs(0)
         slot = lax.rem(p, 2)
@@ -383,7 +391,10 @@ def _make_stream_kernel(TB: int, TN: int, precision, RP: int = 1,
 
         @pl.when(is_last)
         def _():
-            o_ref[:] = acc_ref[:]
+            if accumulate:
+                o_ref[:] = acc_ref[:] + y_ref[:]
+            else:
+                o_ref[:] = acc_ref[:]
 
     return kernel
 
@@ -405,6 +416,7 @@ def bsr_spmm_stream(
     precision=lax.Precision.HIGHEST,
     raw: bool = False,
     out_rows: int | None = None,
+    accumulate_into: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """``Y = A @ X`` with X STREAMED from HBM per tile (no VMEM residency
     requirement — any operand height). Same contract as :func:`bsr_spmm`.
@@ -444,13 +456,24 @@ def bsr_spmm_stream(
     lrow = m.tiles_lrow
     if lrow is None:
         lrow = jnp.zeros_like(m.tiles_col)
+    acc = accumulate_into is not None
+    if acc:
+        # In-place "C += A @ X": the prior result rides as an aliased input
+        # with the output's block mapping; unwritten groups keep its values,
+        # written groups flush acc + y in the kernel — no full-size add pass.
+        assert raw and kp == k, (raw, k, kp)
+        assert accumulate_into.shape == (n_out, kp), (
+            accumulate_into.shape, n_out, kp)
+    y_spec = [
+        pl.BlockSpec((RP * TM, kp), lambda p, rows, cols, lrows: (rows[p], 0))
+    ] if acc else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(m.n_programs,),
         in_specs=[
             pl.BlockSpec((TB, TM, TN), lambda p, rows, cols, lrows: (p, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # X stays in HBM
-        ],
+        ] + y_spec,
         out_specs=pl.BlockSpec(
             (RP * TM, kp), lambda p, rows, cols, lrows: (rows[p], 0)
         ),
@@ -460,12 +483,20 @@ def bsr_spmm_stream(
             pltpu.SemaphoreType.DMA((2, TB)),
         ],
     )
+    operands = (m.prog_rows, m.tiles_col, lrow, m.tiles_data, x)
+    if acc:
+        operands = operands + (accumulate_into.astype(jnp.float32),)
     out = pl.pallas_call(
-        _make_stream_kernel(TB, TN, precision, RP, TM),
+        _make_stream_kernel(TB, TN, precision, RP, TM, accumulate=acc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, kp), jnp.float32),
+        # Operand indices count the scalar-prefetch args: 0-2 scalars,
+        # 3 tiles, 4 x, 5 y.
+        input_output_aliases={5: 0} if acc else {},
         interpret=interpret,
-    )(m.prog_rows, m.tiles_col, lrow, m.tiles_data, x)
+    )(*operands)
+    if acc:
+        return out
     if raw:
         # Group-padded output for callers that fuse the epilogue themselves
         # (slice/mask/add) — see bsr_spmm_window.
@@ -736,15 +767,26 @@ def bsr_spmm_window(
     if not b.all_occupied:
         out = jnp.where(_group_mask(b, n_out), out, 0.0)
     if m.residual is not None:
-        # The residual shares the inner's row grouping (enforced at pack
-        # time), so both outputs have identical group-padded shapes and the
-        # add + final slice fuse into ONE elementwise pass (at 1M rows the
-        # separate slices + add cost ~5ms of a 15ms step, profiled).
-        r = bsr_spmm_stream(m.residual, x,
-                            interpret=interpret, precision=precision,
-                            raw=True, out_rows=n_out)
-        assert r.shape == out.shape, (r.shape, out.shape)
-        out = out + r
+        if b.all_occupied and k % 128 == 0:
+            # Every window group is real, so the residual kernel can
+            # accumulate IN-PLACE onto the window result (aliased input):
+            # unwritten groups keep the window values, written groups flush
+            # acc + y — replacing the separate full-size add pass (2.26 ms
+            # at 1M rows) with per-written-group block reads (~0.15 ms).
+            out = bsr_spmm_stream(m.residual, x,
+                                  interpret=interpret, precision=precision,
+                                  raw=True, out_rows=n_out,
+                                  accumulate_into=out)
+        else:
+            # The residual shares the inner's row grouping (enforced at
+            # pack time), so both outputs have identical group-padded
+            # shapes and the add + final slice fuse into ONE elementwise
+            # pass.
+            r = bsr_spmm_stream(m.residual, x,
+                                interpret=interpret, precision=precision,
+                                raw=True, out_rows=n_out)
+            assert r.shape == out.shape, (r.shape, out.shape)
+            out = out + r
     if n_out > group_rows:
         # Rows beyond the group grid are written by no program
         # (uninitialized unless a mask pass above already zeroed them);

@@ -236,3 +236,25 @@ def test_grid_merged_operator():
     # RCM-banded: nearly everything should be in-window.
     frac = windowed_tile_fraction(Bt, window_tiles=2)
     assert frac > 0.6, frac
+
+
+def test_residual_accumulate_k128():
+    """k=128 + all-occupied inner: the residual stream kernel accumulates
+    in-place onto the window output (aliased input) — must match the
+    separate-add path and scipy."""
+    A = banded_random(3000, 400, 0.2, seed=12)  # straddlers -> residual
+    m = windowed_bsr_from_csr(A, window_tiles=4)
+    assert m.residual is not None and m.inner.all_occupied
+    from arrow_matrix_tpu.ops.bsr_pallas import window_padded_rows
+
+    H = window_padded_rows(m)
+    rng = np.random.default_rng(13)
+    x = np.zeros((H, 128), np.float32)
+    x[: A.shape[1]] = rng.standard_normal((A.shape[1], 128), dtype=np.float32)
+    y = np.asarray(bsr_spmm_window(m, jnp.asarray(x), interpret=True,
+                                   raw=True, out_rows=H))
+    ref = A @ x[: A.shape[1]]
+    np.testing.assert_allclose(y[: A.shape[0]], ref, rtol=1e-4, atol=1e-4)
+    # Tail rows beyond the group grid must be zeroed.
+    grp = m.inner.n_row_groups * m.inner.rows_per_program * m.inner.tile_m
+    assert not y[grp:].any()

@@ -66,23 +66,26 @@ for tm in TMS:
     res_tiles = m.residual.n_tiles if m.residual is not None else 0
     payload = (b.n_tiles + res_tiles) * tm * 128 * 4 / 1e6
 
-    def step(x):
-        return bsr_spmm_window(m, x, raw=True, out_rows=H)
-
+    # The packed matrix rides as a jit ARGUMENT: closing over it inlines
+    # the tile payload as HLO constants and the relay's remote_compile
+    # rejects the body (HTTP 413).
+    dm = jax.device_put(m)
     run = jax.jit(
-        lambda x, i: jax.lax.fori_loop(0, i, lambda _, v: step(v), x),
-        static_argnums=1,
+        lambda m, x, i: jax.lax.fori_loop(
+            0, i, lambda _, v: bsr_spmm_window(m, v, raw=True, out_rows=H), x
+        ),
+        static_argnums=2,
     )
     try:
-        y = np.asarray(run(x, 1))
+        y = np.asarray(run(dm, x, 1))
     except Exception as e:
         print(f"tile_m={tm}: compile/run failed: {type(e).__name__} {e}",
               flush=True)
         continue
     err = np.abs(y[: Bt.shape[0], :K] - ref).max() / np.abs(ref).max()
-    sync(run(x, ITERS))
-    tic = time.perf_counter(); sync(run(x, 1)); t1 = time.perf_counter() - tic
-    tic = time.perf_counter(); sync(run(x, ITERS)); tn = time.perf_counter() - tic
+    sync(run(dm, x, ITERS))
+    tic = time.perf_counter(); sync(run(dm, x, 1)); t1 = time.perf_counter() - tic
+    tic = time.perf_counter(); sync(run(dm, x, ITERS)); tn = time.perf_counter() - tic
     dt = (tn - t1) / (ITERS - 1)
     print(
         f"tile_m={tm:3d}: T={b.n_tiles}+{res_tiles} P={b.n_programs} "
