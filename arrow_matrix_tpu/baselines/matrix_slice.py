@@ -66,9 +66,20 @@ def build_slice_plan(
     pad_multiple: int = 8,
     k_hint: int = 32,
     force_format: str | None = None,
+    exchange: str = "rows",
 ) -> MatrixSlicePlan:
     """Build a :class:`MatrixSlicePlan` from a square matrix and a row
-    partition (defaults to an even split over ``n_devices``)."""
+    partition (defaults to an even split over ``n_devices``).
+
+    :param exchange: ``"rows"`` ships exactly the needed remote rows (the
+        reference's element exchange, arrow/baseline/spmm_petsc.py:147-176);
+        ``"ranges"`` ships the contiguous owner-local range covering them
+        (the reference's slice exchange, spmm_petsc.py:105-144) — more wire
+        bytes when needs are sparse within a range, but the send-side
+        gather becomes sequential (band-local plateau rate on the TPU
+        gather engine).
+    """
+    assert exchange in ("rows", "ranges"), exchange
     A = sparse.csr_matrix(A, dtype=np.float32)
     n = A.shape[0]
     assert A.shape[1] == n, "1-D slice partition assumes a square matrix"
@@ -94,7 +105,13 @@ def build_slice_plan(
     needed_owner = [owner_of(nd) for nd in needed]
     for d in range(q):
         o, cnt = np.unique(needed_owner[d], return_counts=True)
-        counts[o, d] = cnt
+        if exchange == "ranges" and o.size:
+            # Pair count = contiguous covering range, not the exact rows.
+            for oo in o:
+                sel = needed[d][needed_owner[d] == oo]
+                counts[oo, d] = int(sel.max() - sel.min()) + 1
+        else:
+            counts[o, d] = cnt
     M = int(counts.max()) if counts.size else 0
     M = max(1, -(-M // pad_multiple) * pad_multiple)
 
@@ -107,9 +124,22 @@ def build_slice_plan(
         # Needed rows are sorted; group by owner preserving order.
         for o in np.unique(owners):
             sel = rows[owners == o]
-            send_idx[o, d, : sel.size] = (sel - row_starts[o]).astype(np.int32)
-            for m, g in enumerate(sel):
-                recv_slot[d][int(g)] = int(o) * M + m
+            if exchange == "ranges":
+                lo = int(sel.min() - row_starts[o])
+                cnt = int(sel.max() - sel.min()) + 1
+                send_idx[o, d, :cnt] = np.arange(
+                    lo, lo + cnt, dtype=np.int32
+                )
+                for g in sel:
+                    recv_slot[d][int(g)] = (
+                        int(o) * M + int(g - row_starts[o]) - lo
+                    )
+            else:
+                send_idx[o, d, : sel.size] = (
+                    sel - row_starts[o]
+                ).astype(np.int32)
+                for m, g in enumerate(sel):
+                    recv_slot[d][int(g)] = int(o) * M + m
 
     local_blocks, nonlocal_blocks = [], []
     for d in range(q):
@@ -151,3 +181,46 @@ def build_slice_plan(
         n_rows=n,
         row_starts=tuple(int(s) for s in row_starts),
     )
+
+
+def check_comm_tables(plan: MatrixSlicePlan, A: sparse.csr_matrix) -> None:
+    """Independent consistency pass over the exchange tables (the
+    reference's ``check_comm_tables``, arrow/matrix_slice.py:157-182, which
+    cross-validates the Alltoall-learned tables against local needs).
+
+    Re-derives each requester's remote-row needs from ``A`` with set
+    arithmetic — deliberately NOT the plan builder's grouping code path —
+    and asserts the send tables cover them exactly:
+
+    * every needed (requester, global row) appears in its owner's send
+      column for that requester;
+    * every non-padding send entry is a valid owner-local row;
+    * no pair exceeds the static budget M.
+
+    :raises AssertionError: on any violation.
+    """
+    A = sparse.csr_matrix(A)
+    q, M, lmax = plan.n_devices, plan.max_per_pair, plan.lmax
+    starts = np.asarray(plan.row_starts, dtype=np.int64)
+    send = np.asarray(plan.send_idx)
+    assert send.shape == (q, q, M), (send.shape, q, M)
+    for d in range(q):
+        sl = A[starts[d] : starts[d + 1]]
+        need = set(
+            int(c)
+            for c in np.unique(sl.tocoo().col)
+            if c < starts[d] or c >= starts[d + 1]
+        )
+        shipped = set()
+        for o in range(q):
+            rows = send[o, d]
+            rows = rows[rows != lmax]
+            count_o = starts[o + 1] - starts[o]
+            assert ((rows >= 0) & (rows < count_o)).all(), (
+                f"send[{o},{d}] references rows outside owner {o}'s slice"
+            )
+            shipped.update(int(starts[o] + r) for r in rows)
+        missing = need - shipped
+        assert not missing, (
+            f"requester {d}: {len(missing)} needed remote rows not shipped"
+        )

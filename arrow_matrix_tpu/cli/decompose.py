@@ -129,6 +129,13 @@ def main(argv=None):
         return
 
     width = min(args.width, A.shape[0])
+    if A.nnz == 0:
+        # A silently-empty load (e.g. a malformed .mtx) would "decompose"
+        # and validate trivially downstream; fail loudly instead.
+        raise ValueError(
+            f"loaded matrix '{args.dataset_name}' has zero nonzeros — "
+            "check the input file and --format"
+        )
     print(f"decomposing {args.dataset_name}: {A.shape[0]} rows, {A.nnz} nnz, width {width}")
     decomposition = arrow_decomposition(
         A,

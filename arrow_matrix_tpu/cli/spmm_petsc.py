@@ -54,6 +54,11 @@ def main(argv=None):
                         "calibrated cost model (the TPU analogue of the "
                         "reference's --gpu-tiling / --memory knobs, "
                         "scripts/spmm_petsc_main.py:38-41)")
+    p.add_argument("--exchange", choices=["rows", "ranges"], default="rows",
+                   help="ship exactly the needed remote rows (the "
+                        "reference's element exchange) or the contiguous "
+                        "covering ranges (its slice exchange, "
+                        "arrow/baseline/spmm_petsc.py:105-176)")
     p.add_argument("--dryrun", type=str2bool, default=False)
     p.add_argument("--validate", type=str2bool, default=False)
     p.add_argument("--log_dir", type=str, default="./logs")
@@ -75,6 +80,7 @@ def main(argv=None):
         n_devices=n_dev,
         k_hint=args.columns,
         force_format=None if args.format == "auto" else args.format,
+        exchange=args.exchange,
     )
     if args.dryrun:
         print(json.dumps({

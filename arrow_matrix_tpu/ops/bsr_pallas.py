@@ -504,6 +504,12 @@ def bsr_spmm_stream(
             out = out[:, :k]
         if not m.all_occupied:
             out = jnp.where(_group_mask(m, n_out), out, 0.0)
+        elif n_out > group_rows:
+            # All groups written, but the out_rows overhang is not.
+            out = lax.dynamic_update_slice(
+                out, jnp.zeros((n_out - group_rows, k), out.dtype),
+                (group_rows, 0),
+            )
         return out
     out = out[: m.n_row_tiles * TM]
     if kp != k:
@@ -766,6 +772,14 @@ def bsr_spmm_window(
     )(b.prog_rows, b.tiles_col, lrow, m.prog_win, b.tiles_data, x)
     if not b.all_occupied:
         out = jnp.where(_group_mask(b, n_out), out, 0.0)
+    elif n_out > group_rows:
+        # Zero the never-written tail BEFORE the residual folds in (the
+        # residual shares the group grid, so it never writes there either);
+        # doing it first keeps the aliased-accumulate chain linear.
+        out = lax.dynamic_update_slice(
+            out, jnp.zeros((n_out - group_rows, k), out.dtype),
+            (group_rows, 0),
+        )
     if m.residual is not None:
         if b.all_occupied and k % 128 == 0:
             # Every window group is real, so the residual kernel can
@@ -787,14 +801,6 @@ def bsr_spmm_window(
                                 raw=True, out_rows=n_out)
             assert r.shape == out.shape, (r.shape, out.shape)
             out = out + r
-    if n_out > group_rows:
-        # Rows beyond the group grid are written by no program
-        # (uninitialized unless a mask pass above already zeroed them);
-        # one small dynamic_update_slice guarantees a zero tail either way.
-        out = lax.dynamic_update_slice(
-            out, jnp.zeros((n_out - group_rows, k), out.dtype),
-            (group_rows, 0),
-        )
     if raw:
         return out
     return out[: b.n_row_tiles * TM]

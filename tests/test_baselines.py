@@ -220,3 +220,46 @@ def test_1d_densities(density):
     runner = Spmm1D(plan, slice_mesh(q))
     x = runner.step(runner.distribute(X))
     np.testing.assert_allclose(runner.collect(x), A @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_1d_range_exchange():
+    """The slice-exchange variant (contiguous covering ranges, the
+    reference's _spmm_slices, arrow/baseline/spmm_petsc.py:105-144)
+    matches the golden and the row-exchange result."""
+    from arrow_matrix_tpu.baselines.matrix_slice import check_comm_tables
+
+    q = 4
+    A = random_csr(96, 96, 7, seed=3)
+    X = random_dense(96, 16, seed=2)
+    for exchange in ("rows", "ranges"):
+        plan = build_slice_plan(A, n_devices=q, exchange=exchange)
+        check_comm_tables(plan, A)
+        runner = Spmm1D(plan, slice_mesh(q))
+        x = runner.step(runner.distribute(X))
+        np.testing.assert_allclose(
+            runner.collect(x), A @ X, rtol=1e-4, atol=1e-4
+        )
+
+
+def test_check_comm_tables_detects_corruption():
+    """check_comm_tables (reference: arrow/matrix_slice.py:157-182) flags a
+    send table that drops a needed row or points outside the owner slice."""
+    import pytest
+
+    from arrow_matrix_tpu.baselines.matrix_slice import check_comm_tables
+
+    A = random_csr(64, 64, 6, seed=9)
+    plan = build_slice_plan(A, n_devices=4)
+    check_comm_tables(plan, A)  # sane tables pass
+
+    bad = np.asarray(plan.send_idx).copy()
+    sent = np.argwhere(bad != plan.lmax)
+    o, d, m = sent[0]
+    bad[o, d, m] = plan.lmax  # drop one shipped row
+    with pytest.raises(AssertionError, match="not shipped"):
+        check_comm_tables(plan.replace(send_idx=bad), A)
+
+    bad2 = np.asarray(plan.send_idx).copy()
+    bad2[o, d, m] = plan.lmax + 7  # outside the owner's slice
+    with pytest.raises(AssertionError, match="outside owner"):
+        check_comm_tables(plan.replace(send_idx=bad2), A)

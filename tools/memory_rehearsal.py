@@ -54,8 +54,12 @@ def measure(name, shape, dtype):
 
 w_q = -(-WIDTH // Q)
 rows = []
+live = []  # hold ALL bricks simultaneously: if memory_stats is unavailable
+# through the relay, a successful combined allocation is the capacity
+# evidence (an under-modeled footprint would OOM here first).
+total_model = 0
 for name, shape, dt in [
-    ("state f32 (w_q+w, k)", (w_q + WIDTH, K), jnp.float32),
+    ("state f32 (w_q+w, k) x2", (2 * (w_q + WIDTH), K), jnp.float32),
     ("state bf16 (w_q+w, k)", (w_q + WIDTH, K), jnp.bfloat16),
     ("replica f32 (w0, k)", (Q * w_q, K), jnp.float32),
     ("ELL idx (slots=2.1/row)", (int(WIDTH * 2.1), 8), jnp.int32),
@@ -63,7 +67,11 @@ for name, shape, dt in [
 ]:
     a, model, meas = measure(name, shape, dt)
     rows.append({"name": name, "model": model, "measured": meas})
-    del a  # free before the next brick
+    total_model += model
+    live.append(a)
+print(f"combined live bricks: model {total_model/2**30:.2f} GiB — "
+      "allocated simultaneously without OOM" , flush=True)
+del live
 
 # ---- bf16 vs f32 distributed step on a 1-device mesh (perf neutrality)
 from arrow_matrix_tpu.decomposition import arrow_decomposition
