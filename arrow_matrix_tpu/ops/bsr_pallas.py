@@ -1035,6 +1035,14 @@ BSR_NS_PER_TILE = 111.0
 #: once — ops.dispatch and parallel.local import these rather than inlining
 #: the numbers).
 ELL_NS_PER_SLOT = 2.2
+#: Big-source regime (rows above ell.FOLD_SOURCE_ROWS): the gather engine
+#: falls off the plateau and the merged plan switches to folded-source
+#: gathers — measured end-to-end 6.3 ns/nnz on BA-1M (158.7 M nnz/s,
+#: round 2). Selectors must price big merged operators with THIS rate, not
+#: the plateau rate, or they pick gather-ELL where the windowed kernel is
+#: 3-6x faster (observed on the 1.09M-row roadNet surrogate: modeled 8.5 ms
+#: ELL, measured 52 ms).
+ELL_NS_PER_SLOT_BIG = 6.0
 ELL_SLOT_PAD_FACTOR = 1.25
 #: Pre-calibration estimate of the streaming kernel relative to the
 #: windowed kernel (stream re-fetches X per tile; windowed fetches each
@@ -1045,12 +1053,29 @@ BSR_STREAM_FALLBACK_FACTOR = 4.0
 #: hidden behind the dots).
 BSR_STREAM_NS_PER_TILE: float | None = 320.0
 #: ns/tile of the windowed kernel's in-window tiles (X window amortized),
-#: measured round 3 on the RCM grid-202k operator at the auto program
-#: shape (TB=16, RP=4): 1.63 ms / 6.7k tiles = 243 ns/tile END TO END
-#: (includes window DMA, output writes, and the grid-step overhead the
-#: shape chooser already minimizes) -> 496 M nnz/s, 1.65x the region
-#: executor on the same operator.
-BSR_WINDOW_NS_PER_TILE: float | None = 250.0
+#: measured round 3 on the zero-copy step at the auto program shape
+#: (TB=16, RP=4): grid-1M 5.47 ms / 31.3k tiles = 175 ns/tile, grid-202k
+#: 1.58 ms all-in / 6.7k = 230 (includes window DMA, output writes, and
+#: the grid-step overhead the shape chooser already minimizes). 200 is the
+#: mid-range; it also tie-breaks near-equal windowed-vs-stream calls
+#: toward windowed (single launch, each X window fetched ~once vs per-tile
+#: re-fetch — observed decisive on the 1.09M-row roadNet surrogate).
+BSR_WINDOW_NS_PER_TILE: float | None = 200.0
+
+
+#: SMEM budget for the BSR kernels' scalar-prefetch operands (tiles_col,
+#: tiles_lrow, prog_rows, prog_win — int32 each). The chip exposes 1 MB;
+#: keep margin for Mosaic's own scalars. Measured failure mode: the rmat-4M
+#: hybrid dense-peel built ~660k tiles -> 2.65 MB prefetched SMEM operand
+#: -> compile error ("Allocation would exceed memory (size=1048576)").
+BSR_SMEM_PREFETCH_BUDGET = 768 * 1024
+
+
+def bsr_smem_ok(n_tiles: int, tiles_per_program: int = 8) -> bool:
+    """Whether a BSR-family kernel with this many tiles fits the SMEM
+    scalar-prefetch budget (2 per-tile + 2 per-program int32 arrays)."""
+    progs = -(-max(1, n_tiles) // max(1, tiles_per_program))
+    return 4 * (2 * n_tiles + 2 * progs) <= BSR_SMEM_PREFETCH_BUDGET
 
 
 def preferred_format(
@@ -1083,6 +1108,8 @@ def preferred_format(
     occ, nnz, _ = tile_density_stats(A, tile_m, tile_n)
     if nnz == 0:
         return "ell"
+    if not bsr_smem_ok(occ):
+        return "ell"  # scalar-prefetch arrays would overflow SMEM
     n_col_pad = max(1, -(-A.shape[1] // tile_n)) * tile_n
     tile_scale = (tile_m * tile_n) / (128 * 128)
     stream_ns = (

@@ -49,9 +49,14 @@ def _ell_or_compact(b: sparse.csr_matrix):
     return ell_from_csr(b)
 
 
-#: Minimum in-window tile fraction for the windowed kernel to be considered
-#: (below this the residual stream matrix dominates its advantage).
-WINDOW_FRACTION_MIN = 0.8
+#: Minimum in-window tile fraction for the windowed kernel to be considered.
+#: Below ~half the tiles in-window the residual stream matrix dominates and
+#: plain streaming is usually as good; the time model (which prices the
+#: residual at the stream rate) makes the final call, so this is only a
+#: cheap structural pre-filter. Lowered from 0.8 in round 3: the roadNet
+#: surrogate (planar, frac 0.72) was hard-rejected despite the windowed
+#: plan being ~3.5x faster than the chosen gather-ELL.
+WINDOW_FRACTION_MIN = 0.45
 
 
 def _windowed_gate(agg: sparse.csr_matrix, k_hint: int, build):
@@ -69,11 +74,13 @@ def _windowed_gate(agg: sparse.csr_matrix, k_hint: int, build):
     import arrow_matrix_tpu.ops.tiling as _tiling
     from arrow_matrix_tpu.ops.bsr_pallas import (
         ELL_NS_PER_SLOT,
+        ELL_NS_PER_SLOT_BIG,
         ELL_SLOT_PAD_FACTOR,
         BSR_STREAM_FALLBACK_FACTOR,
         tile_density_stats,
         windowed_tile_fraction,
     )
+    from arrow_matrix_tpu.ops.ell import FOLD_SOURCE_ROWS
     from arrow_matrix_tpu.ops.tiling import vmem_resident_bytes
 
     if _bp.BSR_WINDOW_NS_PER_TILE is None:
@@ -86,7 +93,16 @@ def _windowed_gate(agg: sparse.csr_matrix, k_hint: int, build):
     if windowed_tile_fraction(agg) < WINDOW_FRACTION_MIN:
         return None
     occ, nnz, _ = tile_density_stats(agg)
-    ell_ns = nnz * ELL_SLOT_PAD_FACTOR * ELL_NS_PER_SLOT
+    if not _bp.bsr_smem_ok(occ):
+        return None  # scalar-prefetch arrays would overflow SMEM
+    # Big sources fall off the gather plateau (ell.FOLD_SOURCE_ROWS);
+    # price the ELL alternative at the measured big-source rate there.
+    slot_ns = (
+        ELL_NS_PER_SLOT
+        if agg.shape[0] <= FOLD_SOURCE_ROWS
+        else ELL_NS_PER_SLOT_BIG
+    )
+    ell_ns = nnz * ELL_SLOT_PAD_FACTOR * slot_ns
     # Residual tiles always run on the streaming kernel inside
     # bsr_spmm_window; estimate its rate pre-calibration. As a selectable
     # ALTERNATIVE the stream kernel only competes once calibrated.
@@ -110,6 +126,16 @@ def _windowed_gate(agg: sparse.csr_matrix, k_hint: int, build):
         td = m.tiles_data
         return int(td.shape[0] * td.shape[1]) if td.ndim == 4 else int(td.shape[0])
 
+    if not (
+        _bp.bsr_smem_ok(built_tiles(wm.inner), wm.inner.tiles_per_program)
+        and (
+            wm.residual is None
+            or _bp.bsr_smem_ok(
+                built_tiles(wm.residual), wm.residual.tiles_per_program
+            )
+        )
+    ):
+        return None
     win_ns = (
         built_tiles(wm.inner) * _bp.BSR_WINDOW_NS_PER_TILE
         + built_tiles(wm.residual) * stream_tile_ns

@@ -150,17 +150,27 @@ def test_refine_mode_validation_and_empty():
     assert Bt0 is Bt and padded0 is padded and not applied
 
 
-def test_compile_single_chip_selects_region_on_banded():
+def test_compile_single_chip_selects_region_on_banded(monkeypatch):
     from arrow_matrix_tpu.parallel.local import compile_single_chip
     from arrow_matrix_tpu.parallel.region import RegionPlan
 
-    # Banded family above the VMEM residency bound -> region executor
-    # (a smaller grid stays merged because cut <= BSR_REGION_ROWS).
+    # Banded family above the VMEM residency bound -> the calibrated
+    # windowed merged plan (round 3); with the windowed kernel
+    # UNCALIBRATED the region executor is the fallback (a smaller grid
+    # stays merged because cut <= BSR_REGION_ROWS).
     A = grid_graph(140)  # 19600 vertices, cut > 16384
     width = 19600 // 8 + 1
     decomp = arrow_decomposition(
         A, width, max_number_of_levels=100, block_diagonal=True, seed=2
     )
+    plan, step_fn = compile_single_chip(decomp, width, k_hint=8)
+    from arrow_matrix_tpu.parallel.local import LocalArrowPlan as _LAP
+
+    assert isinstance(plan, _LAP) and plan.levels[0].fmt == "window"
+
+    import arrow_matrix_tpu.ops.bsr_pallas as bp
+
+    monkeypatch.setattr(bp, "BSR_WINDOW_NS_PER_TILE", None)
     plan, step_fn = compile_single_chip(decomp, width, k_hint=8)
     assert isinstance(plan, RegionPlan)
 
