@@ -120,11 +120,18 @@ def run_config(A, width, k, iterations, refine, time_step, blocks=None,
     )
     if isinstance(plan, RegionPlan):
         executor = "region"
+        cols = k
     else:
+        from arrow_matrix_tpu.parallel.local import state_cols
+
         executor = getattr(plan, "executor_name", None) or (
             f"merged/{plan.levels[0].fmt}"
         )
-    x0 = rng.random((plan.padded_rows, k), dtype=np.float32)
+        # Lane-padded state engages the windowed zero-copy fast path
+        # (physically identical bytes; removes per-step logical lane pads).
+        cols = state_cols(plan, k)
+    x0 = np.zeros((plan.padded_rows, cols), dtype=np.float32)
+    x0[:, :k] = rng.random((plan.padded_rows, k), dtype=np.float32)
     dt = time_step(plan, step_fn, x0)
 
     # Host scipy baseline (reference CPU kernel) on the same iteration.

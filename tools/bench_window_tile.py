@@ -6,7 +6,10 @@ payload (grid-1M: 2.04 GB -> 1.09 GB at tile_m=8) at the cost of 8.5x the
 tile/program count. This sweep races tile_m on the real chip to find where
 the DMA-size/overhead tradeoff lands.
 
-Usage: tools/bench_window_tile.py [side] [k] [tile_m ...]
+Usage: tools/bench_window_tile.py [side] [k] [tile_m[:TB[:RP]] ...]
+
+Each spec may pin the program shape, e.g. ``128:32:4`` races tile_m=128
+with tiles_per_program=32, rows_per_program=4 against the auto chooser.
 """
 import sys
 import time
@@ -30,7 +33,16 @@ from arrow_matrix_tpu.utils.profiling import sync
 
 SIDE = int(sys.argv[1]) if len(sys.argv) > 1 else 450
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-TMS = [int(a) for a in sys.argv[3:]] or [8, 16, 32, 64, 128]
+
+
+def parse_spec(s):
+    parts = [int(p) for p in s.split(":")]
+    return (parts + [None, None])[:3]  # (tile_m, TB, RP)
+
+
+SPECS = [parse_spec(a) for a in sys.argv[3:]] or [
+    (tm, None, None) for tm in (8, 16, 32, 64, 128)
+]
 ITERS = 30
 
 A = grid_graph(SIDE)
@@ -52,9 +64,10 @@ rng = np.random.default_rng(0)
 xs_host = rng.standard_normal((Bt.shape[1], K)).astype(np.float32)
 ref = Bt @ xs_host
 
-for tm in TMS:
+for tm, tb, rp in SPECS:
     try:
-        m = windowed_bsr_from_csr(Bt, tile_m=tm)
+        m = windowed_bsr_from_csr(Bt, tile_m=tm, tiles_per_program=tb,
+                                  rows_per_program=rp)
     except Exception as e:  # pack-time rejection
         print(f"tile_m={tm}: pack failed: {e}", flush=True)
         continue
