@@ -18,10 +18,13 @@ reference (MPI)                             arrow_matrix_tpu
 ``arrow.step()``                            ``session.step()``
 ``arrow.B.allgather_result(C)``             ``session.allgather_result()``
 fat layout (2q-1 ranks, banded)             ``block_diagonal=False`` (banded
-                                            ppermute halo; the row/column rank
-                                            split is an MPI memory artifact —
-                                            on TPU one device per block row
-                                            holds all three panels in HBM)
+                                            ppermute halo); for the MEMORY
+                                            split itself: ``row_split=r``
+                                            (``parallel/fat.py`` — every
+                                            block's panels row-split over a
+                                            (block, half) mesh, per-device
+                                            bytes 1/r; generalizes the 2q-1
+                                            split to any r)
 ==========================================  ====================================
 
 Why the fat layout's 2q-1 memory split is unnecessary on TPU (quantified at
@@ -74,17 +77,41 @@ class ArrowSession:
         block_diagonal: bool = True,
         features: int = 16,
         state_dtype=None,
+        row_split: int = 1,
     ):
         """:param state_dtype: multi-device iteration-state dtype;
         ``jnp.bfloat16`` halves per-device state/replica HBM and routing
         wire bytes (see plan/memory.py) at ~bf16 rounding per level per
-        iteration. Default float32 (exact parity with the reference)."""
+        iteration. Default float32 (exact parity with the reference).
+
+        :param row_split: fat layout — split every block's panels by rows
+        over this many extra mesh devices (``n_devices`` counts BLOCKS;
+        the mesh uses ``n_devices * row_split`` chips). The reference's
+        2q-1-rank fat layout is the ``row_split=2`` case
+        (reference: arrow/arrow_mpi.py:26-93)."""
         self.width = width
-        self.n_devices = n_devices or len(jax.devices())
+        self.n_devices = n_devices or (len(jax.devices()) // row_split)
         self.block_diagonal = block_diagonal
         self._x = None
         self.iteration = 0
-        if self.n_devices > 1:
+        if row_split > 1:
+            from arrow_matrix_tpu.parallel.fat import FatArrowSpmm, fat_mesh
+
+            self.plan = compile_plan(
+                decomposition,
+                width,
+                self.n_devices,
+                block_diagonal=block_diagonal,
+                k_hint=features,
+                row_split=row_split,
+            )
+            self._runner = FatArrowSpmm(
+                self.plan,
+                fat_mesh(self.n_devices, row_split),
+                **({} if state_dtype is None else {"state_dtype": state_dtype}),
+            )
+            self._step = self._runner.step
+        elif self.n_devices > 1:
             self.plan = compile_plan(
                 decomposition,
                 width,
@@ -142,10 +169,14 @@ class ArrowSession:
         arrow_slim_mpi.py:354-394)."""
         self.set_features(np.zeros((self.plan.n_rows, n_columns), dtype=dtype))
 
+    @property
+    def plan_is_fat(self) -> bool:
+        return getattr(self.plan, "row_split", 1) > 1
+
     def set_features(self, X: np.ndarray) -> None:
         """Load features in ORIGINAL row order (the reference distributes
         X slices to matrix-0 column ranks)."""
-        if self.n_devices > 1:
+        if self.n_devices > 1 or self.plan_is_fat:
             self._x = self._runner.distribute(np.asarray(X, dtype=np.float32))
         else:
             n_pad = self.plan.padded_rows
@@ -168,7 +199,7 @@ class ArrowSession:
         """Materialize the current features in original row order
         (reference: arrow_slim_mpi.py:415-425)."""
         assert self._x is not None
-        if self.n_devices > 1:
+        if self.n_devices > 1 or self.plan_is_fat:
             return self._runner.collect(self._x)
         inv = np.argsort(np.asarray(self.plan.permutations[0]))
         return np.asarray(jax.device_get(self._x))[inv][: self.plan.n_rows]

@@ -178,3 +178,22 @@ def test_fat_bf16_state():
         A, [(A, np.arange(n))], width, q, r, iters=2,
         state_dtype=jnp.bfloat16, tol=5e-2,
     )
+
+
+def test_fat_session_api():
+    """ArrowSession(row_split=2) — the user-facing fat mode mirroring the
+    reference's ArrowMPI runtime choice (arrow/arrow_mpi.py:98-121)."""
+    from arrow_matrix_tpu.parallel.session import ArrowSession
+
+    q, r = 4, 2
+    n = 256
+    A = barabasi_albert(n, 4, seed=5)
+    decomp = arrow_decomposition(
+        A, 64, max_number_of_levels=100, block_diagonal=True, seed=1
+    )
+    sess = ArrowSession(decomp, 64, n_devices=q, row_split=r)
+    X = random_dense(n, 8, seed=3)
+    sess.set_features(X)
+    sess.run(2)
+    got = sess.allgather_result()
+    np.testing.assert_allclose(got, A @ (A @ X), rtol=2e-4, atol=2e-4)
