@@ -546,6 +546,14 @@ class WindowedBsr:
     residual: BsrMat | None
     window_tiles: int = struct.field(pytree_node=False)
     n_windows: int = struct.field(pytree_node=False)
+    # UNIFIED variant (windowed_bsr_from_csr(unified=True)): ``inner``
+    # holds ALL tiles in GLOBAL column ids; per tile, ``tiles_wcol`` is the
+    # window-local column (0 for straddlers) and ``tiles_resid`` flags
+    # straddlers, which the unified kernel fetches by conditional manual
+    # DMA instead of a second streaming launch — one grid, no residual add
+    # pass, no aliasing copy. ``residual`` is None.
+    tiles_wcol: jnp.ndarray | None = None
+    tiles_resid: jnp.ndarray | None = None
 
     @property
     def n_rows(self) -> int:
@@ -565,8 +573,13 @@ def windowed_bsr_from_csr(
     tiles_per_program: int | None = None,
     rows_per_program: int | None = None,
     residual_shape: tuple[int, int] | None = None,
+    unified: bool = False,
 ) -> WindowedBsr:
     """Pack a (banded) CSR matrix into :class:`WindowedBsr`.
+
+    ``unified=True`` packs ALL tiles into one grid with per-tile straddler
+    flags (see :class:`WindowedBsr`); requires the apply-time feature width
+    to be a multiple of 128 lanes (the manual-DMA path's alignment rule).
 
     Each ROW GROUP (``rows_per_program`` consecutive tile rows — the unit
     one program serves) gets the aligned window ``floor(median_tile_col /
@@ -611,6 +624,36 @@ def windowed_bsr_from_csr(
         M.sum_duplicates()
         return M
 
+    if unified:
+        # ONE BsrMat over ALL tiles in GLOBAL column ids; straddlers are
+        # flagged per tile and fetched by conditional manual DMA inside the
+        # SAME kernel (no residual matrix, no second launch, no add pass).
+        inner = bsr_from_csr(
+            A, tile_m, tile_n, dtype, tiles_per_program, rows_per_program=RP
+        )
+        cols = np.asarray(inner.tiles_col).astype(np.int64)
+        groups = np.repeat(
+            np.asarray(inner.prog_rows), inner.tiles_per_program
+        ).astype(np.int64)
+        wg = win_of_group[groups]
+        inw = (cols >= wg * W) & (cols < (wg + 1) * W)
+        wcol = np.where(inw, cols - wg * W, 0).astype(np.int32)
+        flags = (~inw).astype(np.int32)
+        prog_win = win_of_group[np.asarray(inner.prog_rows)].astype(np.int32)
+        inner, prog_win, (wcol, flags) = _sort_programs_by_window(
+            inner, prog_win, (wcol, flags)
+        )
+        n_windows = int(win_of_group.max()) + 1 if win_of_group.size else 1
+        return WindowedBsr(
+            inner=inner,
+            prog_win=jnp.asarray(prog_win),
+            residual=None,
+            window_tiles=W,
+            n_windows=n_windows,
+            tiles_wcol=jnp.asarray(wcol),
+            tiles_resid=jnp.asarray(flags),
+        )
+
     # The inner matrix lives in window-local coordinates: its column space
     # is exactly one window, so bsr_from_csr emits local tile ids directly
     # (pad tiles get local col 0 — in-bounds, zero payload). Its grouping
@@ -637,6 +680,7 @@ def windowed_bsr_from_csr(
                 residual.tiles_per_program, rows_per_program=RP,
             )
     prog_win = win_of_group[np.asarray(inner.prog_rows)].astype(np.int32)
+    inner, prog_win, _ = _sort_programs_by_window(inner, prog_win)
     n_windows = int(win_of_group.max()) + 1 if win_of_group.size else 1
     return WindowedBsr(
         inner=inner,
@@ -645,6 +689,35 @@ def windowed_bsr_from_csr(
         window_tiles=W,
         n_windows=n_windows,
     )
+
+
+def _sort_programs_by_window(
+    inner: BsrMat, prog_win: np.ndarray, extra: tuple = ()
+) -> tuple[BsrMat, np.ndarray, tuple]:
+    """Reorder PROGRAMS (blocks of TB tiles) so equal window ids are
+    consecutive: the Pallas pipeline re-fetches the X window block whenever
+    ``win[p]`` changes, so a wavy band (window ids oscillating between
+    adjacent row groups) would re-DMA ~4MB per program. Output placement is
+    index-mapped (``rows[p]``), so program order is free; the stable sort
+    keeps each group's programs contiguous (the acc/flush contract).
+    ``extra`` are per-TILE arrays reordered alongside."""
+    TB = inner.tiles_per_program
+    order = np.argsort(prog_win, kind="stable")
+    if (order == np.arange(order.size)).all():
+        return inner, prog_win, extra
+    tidx = (order[:, None] * TB + np.arange(TB)).reshape(-1)
+    inner = inner.replace(
+        tiles_data=np.asarray(inner.tiles_data)[tidx],
+        tiles_col=np.asarray(inner.tiles_col)[tidx],
+        prog_rows=np.asarray(inner.prog_rows)[order],
+        tiles_lrow=(
+            np.asarray(inner.tiles_lrow)[tidx]
+            if inner.tiles_lrow is not None
+            else None
+        ),
+    )
+    extra = tuple(np.asarray(a)[tidx] for a in extra)
+    return inner, prog_win[order], extra
 
 
 def _group_windows(coo, tile_m, tile_n, W, n_row_tiles, RP=1) -> np.ndarray:
@@ -704,6 +777,89 @@ def _make_window_kernel(TB: int, TN: int, precision, RP: int = 1,
     return kernel
 
 
+def _make_unified_window_kernel(TB: int, TN: int, precision, RP: int = 1,
+                                TM: int = 128):
+    """One grid over ALL tiles: in-window tiles read the auto-pipelined X
+    window block; straddler tiles double-buffer their (TN, k) X slice from
+    HBM by manual DMA, issued one program ahead (the streaming kernel's
+    scheme, gated per tile by the straddler flag)."""
+
+    def kernel(
+        prog_rows_ref, cols_ref, lrows_ref, win_ref, wcols_ref, flags_ref,
+        a_ref, xw_ref, xh_ref, o_ref, acc_ref, xbuf_ref, sem_ref
+    ):
+        del win_ref  # drives the X window BlockSpec index_map only
+        p = pl.program_id(0)
+        n_p = pl.num_programs(0)
+        slot = lax.rem(p, 2)
+        nxt = lax.rem(p + 1, 2)
+
+        def issue(prog, buf):
+            for r in range(TB):
+                @pl.when(flags_ref[prog * TB + r] == 1)
+                def _():
+                    col = cols_ref[prog * TB + r]
+                    pltpu.make_async_copy(
+                        xh_ref.at[pl.ds(col * TN, TN), :],
+                        xbuf_ref.at[buf, r],
+                        sem_ref.at[buf, r],
+                    ).start()
+
+        @pl.when(p == 0)
+        def _():
+            issue(0, 0)
+
+        @pl.when(p + 1 < n_p)
+        def _():
+            issue(p + 1, nxt)
+
+        row_here = prog_rows_ref[p]
+        is_first = jnp.logical_or(
+            p == 0, prog_rows_ref[jnp.maximum(p - 1, 0)] != row_here
+        )
+
+        @pl.when(is_first)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        for r in range(TB):
+            fl = flags_ref[p * TB + r]
+            col = cols_ref[p * TB + r]
+
+            @pl.when(fl == 1)
+            def _():
+                pltpu.make_async_copy(
+                    xh_ref.at[pl.ds(col * TN, TN), :],
+                    xbuf_ref.at[slot, r],
+                    sem_ref.at[slot, r],
+                ).wait()
+
+            xw = xw_ref[pl.ds(wcols_ref[p * TB + r] * TN, TN), :]
+            xb = jnp.where(fl == 1, xbuf_ref[slot, r], xw)
+            dot = lax.dot_general(
+                a_ref[r].astype(jnp.float32),
+                xb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            if RP == 1:
+                acc_ref[:] += dot
+            else:
+                off = lrows_ref[p * TB + r] * TM
+                acc_ref[pl.ds(off, TM), :] += dot
+
+        is_last = jnp.logical_or(
+            p == n_p - 1, prog_rows_ref[jnp.minimum(p + 1, n_p - 1)] != row_here
+        )
+
+        @pl.when(is_last)
+        def _():
+            o_ref[:] = acc_ref[:]
+
+    return kernel
+
+
 def bsr_spmm_window(
     m: WindowedBsr,
     x: jnp.ndarray,
@@ -744,32 +900,71 @@ def bsr_spmm_window(
     lrow = b.tiles_lrow
     if lrow is None:
         lrow = jnp.zeros_like(b.tiles_col)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(b.n_programs,),
-        in_specs=[
-            pl.BlockSpec(
-                (TB, TM, TN), lambda p, rows, cols, lrows, win: (p, 0, 0)
-            ),
-            pl.BlockSpec(
-                (W * TN, k), lambda p, rows, cols, lrows, win: (win[p], 0)
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (RP * TM, k), lambda p, rows, cols, lrows, win: (rows[p], 0)
-        ),
-        scratch_shapes=[pltpu.VMEM((RP * TM, k), jnp.float32)],
-    )
     group_rows = b.n_row_groups * RP * TM
     n_out = group_rows if out_rows is None else out_rows
     assert n_out >= group_rows and n_out % (RP * TM) == 0, (
         n_out, group_rows, RP * TM)
-    out = pl.pallas_call(
-        _make_window_kernel(TB, TN, precision, RP, TM),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, k), jnp.float32),
-        interpret=interpret,
-    )(b.prog_rows, b.tiles_col, lrow, m.prog_win, b.tiles_data, x)
+    if m.tiles_resid is not None:
+        # Unified path: one grid over all tiles; straddlers manual-DMA
+        # their X slice (requires lane-width k, the manual DMA's alignment
+        # rule — the lane-padded state satisfies it).
+        assert k % 128 == 0, k
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(b.n_programs,),
+            in_specs=[
+                pl.BlockSpec(
+                    (TB, TM, TN),
+                    lambda p, rows, cols, lrows, win, wc, fl: (p, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (W * TN, k),
+                    lambda p, rows, cols, lrows, win, wc, fl: (win[p], 0),
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),  # X for straddler DMA
+            ],
+            out_specs=pl.BlockSpec(
+                (RP * TM, k),
+                lambda p, rows, cols, lrows, win, wc, fl: (rows[p], 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((RP * TM, k), jnp.float32),
+                pltpu.VMEM((2, TB, TN, k), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, TB)),
+            ],
+        )
+        out = pl.pallas_call(
+            _make_unified_window_kernel(TB, TN, precision, RP, TM),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_out, k), jnp.float32),
+            interpret=interpret,
+        )(
+            b.prog_rows, b.tiles_col, lrow, m.prog_win, m.tiles_wcol,
+            m.tiles_resid, b.tiles_data, x, x,
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b.n_programs,),
+            in_specs=[
+                pl.BlockSpec(
+                    (TB, TM, TN), lambda p, rows, cols, lrows, win: (p, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (W * TN, k), lambda p, rows, cols, lrows, win: (win[p], 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (RP * TM, k), lambda p, rows, cols, lrows, win: (rows[p], 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((RP * TM, k), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            _make_window_kernel(TB, TN, precision, RP, TM),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_out, k), jnp.float32),
+            interpret=interpret,
+        )(b.prog_rows, b.tiles_col, lrow, m.prog_win, b.tiles_data, x)
     if not b.all_occupied:
         out = jnp.where(_group_mask(b, n_out), out, 0.0)
     elif n_out > group_rows:

@@ -266,10 +266,16 @@ def choose_slot_count(
         return 8
     # Multiples of 8 only: narrower slot rows save gathers but destroy the
     # FMA-reduce vectorization and blow up the extras chain (profiled).
+    # Above 128 only multiples of 128: the (V, R) idx/val arrays lane-pad
+    # the minor dimension to the next 128 multiple, so e.g. R = 136
+    # physically costs R = 256 (measured 1.9x HBM expansion on the
+    # rmat-4M plan — the difference between fitting and OOM).
     cap = min(max_r, _round_up(mx, 8))
+    candidates = list(range(8, min(cap, 128) + 8, 8))
+    candidates += list(range(256, cap + 128, 128))
     best_r, best_cost = None, None
     fallback_r, fallback_v = None, None
-    for r in range(8, cap + 8, 8):
+    for r in candidates:
         extra = np.maximum(nnz_per_row - r, 0)
         e_rows = int((-(-extra // r)).sum())
         if fallback_v is None or e_rows < fallback_v:

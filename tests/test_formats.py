@@ -368,3 +368,15 @@ def test_bsr_smem_gate():
     A = sp.random(512, 512, 0.2, format="csr", dtype=np.float32,
                   random_state=1)
     assert preferred_format(A, 16) == "bsr"  # sanity: small+dense -> bsr
+
+
+def test_choose_slot_count_lane_cliff():
+    """Above 128 only lane-exact multiples of 128 are candidates: R=136
+    physically pads the (V, R) arrays to 256 lanes (measured 1.9x HBM
+    expansion on the rmat-4M plan)."""
+    from arrow_matrix_tpu.ops.formats import choose_slot_count
+
+    rng = np.random.default_rng(0)
+    nnz = rng.integers(120, 200, size=10_000)
+    r = choose_slot_count(nnz)
+    assert r <= 128 or r % 128 == 0, r

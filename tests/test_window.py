@@ -258,3 +258,36 @@ def test_residual_accumulate_k128():
     # Tail rows beyond the group grid must be zeroed.
     grp = m.inner.n_row_groups * m.inner.rows_per_program * m.inner.tile_m
     assert not y[grp:].any()
+
+
+def test_unified_windowed_k128():
+    """The unified kernel (one grid, straddlers via conditional manual DMA)
+    matches scipy and the two-kernel path on a banded matrix with
+    straddlers."""
+    from arrow_matrix_tpu.ops.bsr_pallas import window_padded_rows
+
+    A = banded_random(3000, 400, 0.2, seed=21)
+    mu = windowed_bsr_from_csr(A, window_tiles=4, unified=True)
+    assert mu.tiles_resid is not None and int(np.asarray(mu.tiles_resid).sum())
+    m2 = windowed_bsr_from_csr(A, window_tiles=4)
+    H = window_padded_rows(mu)
+    rng = np.random.default_rng(22)
+    x = np.zeros((max(H, window_padded_rows(m2)), 128), np.float32)
+    x[: A.shape[1]] = rng.standard_normal((A.shape[1], 128), dtype=np.float32)
+    y_u = np.asarray(bsr_spmm_window(mu, jnp.asarray(x[:H]), interpret=True,
+                                     raw=True, out_rows=H))
+    ref = A @ x[: A.shape[1]]
+    np.testing.assert_allclose(y_u[: A.shape[0]], ref, rtol=1e-4, atol=1e-4)
+    grp = mu.inner.n_row_groups * mu.inner.rows_per_program * mu.inner.tile_m
+    assert not y_u[grp:].any()
+
+
+def test_unified_windowed_no_straddlers():
+    A = banded_random(1500, 64, 0.2, seed=23)
+    mu = windowed_bsr_from_csr(A, window_tiles=4, unified=True)
+    n_pad = mu.inner.n_col_tiles * 128
+    rng = np.random.default_rng(24)
+    x = rng.standard_normal((n_pad, 128)).astype(np.float32)
+    y = np.asarray(bsr_spmm_window(mu, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y[: A.shape[0]], A @ x[: A.shape[1]],
+                               rtol=1e-4, atol=1e-4)
