@@ -904,11 +904,14 @@ def bsr_spmm_window(
     n_out = group_rows if out_rows is None else out_rows
     assert n_out >= group_rows and n_out % (RP * TM) == 0, (
         n_out, group_rows, RP * TM)
+    ku = k
+    if m.tiles_resid is not None and k % 128:
+        # The unified path's manual DMA needs lane-width k (the lane-padded
+        # state satisfies it for free; other callers pay a logical pad and
+        # a column slice of the result).
+        ku = -(-k // 128) * 128
+        x = jnp.pad(x, ((0, 0), (0, ku - k)))
     if m.tiles_resid is not None:
-        # Unified path: one grid over all tiles; straddlers manual-DMA
-        # their X slice (requires lane-width k, the manual DMA's alignment
-        # rule — the lane-padded state satisfies it).
-        assert k % 128 == 0, k
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             grid=(b.n_programs,),
@@ -918,30 +921,32 @@ def bsr_spmm_window(
                     lambda p, rows, cols, lrows, win, wc, fl: (p, 0, 0),
                 ),
                 pl.BlockSpec(
-                    (W * TN, k),
+                    (W * TN, ku),
                     lambda p, rows, cols, lrows, win, wc, fl: (win[p], 0),
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),  # X for straddler DMA
             ],
             out_specs=pl.BlockSpec(
-                (RP * TM, k),
+                (RP * TM, ku),
                 lambda p, rows, cols, lrows, win, wc, fl: (rows[p], 0),
             ),
             scratch_shapes=[
-                pltpu.VMEM((RP * TM, k), jnp.float32),
-                pltpu.VMEM((2, TB, TN, k), jnp.float32),
+                pltpu.VMEM((RP * TM, ku), jnp.float32),
+                pltpu.VMEM((2, TB, TN, ku), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, TB)),
             ],
         )
         out = pl.pallas_call(
             _make_unified_window_kernel(TB, TN, precision, RP, TM),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_out, k), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_out, ku), jnp.float32),
             interpret=interpret,
         )(
             b.prog_rows, b.tiles_col, lrow, m.prog_win, m.tiles_wcol,
             m.tiles_resid, b.tiles_data, x, x,
         )
+        if ku != k:
+            out = out[:, :k]
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
