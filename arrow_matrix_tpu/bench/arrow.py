@@ -44,6 +44,7 @@ def bench_spmm(
     mode: str = "auto",
     state_dtype: str = "float32",
     validate: bool = False,
+    timing: str = "per_step",
 ) -> dict:
     """Run the iterated arrow SpMM benchmark; returns summary statistics.
 
@@ -205,6 +206,42 @@ def bench_spmm(
     # Warm-up / compile.
     x = step(x)
     jax.block_until_ready(x)
+
+    if timing == "fori" and n_devices == 1 and not profile:
+        # Differenced 1- vs N-iteration fori_loop timing: through the axon
+        # relay each dispatch carries ~15-40 ms fixed cost, which the
+        # per-step taxonomy below cannot separate from the device step
+        # (bench.py's scheme). Single-chip only: the distributed runner's
+        # step is shard_map-jitted per call.
+        import time as _t
+
+        def loop(plan, x, iters):
+            return jax.lax.fori_loop(0, iters, lambda i, v: jitted(plan, v), x)
+
+        loop = jax.jit(loop, static_argnums=2)
+
+        def fence(arr):
+            return np.asarray(jax.device_get(arr[:1, :1]))
+
+        fence(loop(dplan, x, 1))
+        fence(loop(dplan, x, iterations))
+        tic = _t.perf_counter(); fence(loop(dplan, x, 1)); t1 = _t.perf_counter() - tic
+        tic = _t.perf_counter(); fence(loop(dplan, x, iterations)); tn = _t.perf_counter() - tic
+        med = max((tn - t1) / max(1, iterations - 1), 1e-9)
+        metrics.log({"spmm_time": med})
+        log_path = metrics.finish(log_dir)
+        stats = {
+            "iterations": iterations,
+            "median_spmm_time": med,
+            "nnz": nnz,
+            "nnz_per_s": nnz / med,
+            "levels": len(decomposition),
+            "timing": "fori",
+            "log_path": log_path,
+        }
+        if validate:
+            stats["validate_rel_err"] = rel
+        return stats
 
     times = []
     for it in range(iterations):

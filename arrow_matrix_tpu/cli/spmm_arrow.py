@@ -45,6 +45,12 @@ def main(argv=None):
                    help="full gather-and-compare of one device product vs "
                         "the host compute_spmm golden before timing")
     p.add_argument("--log_dir", type=str, default="./logs")
+    p.add_argument("--timing", choices=["per_step", "fori"],
+                   default="per_step",
+                   help="per_step mirrors the reference's per-iteration "
+                        "spans; fori differences a 1- vs N-iteration "
+                        "fori_loop (single-chip), separating the device "
+                        "step from fixed per-dispatch cost")
     args = p.parse_args(argv)
 
     stats = bench_spmm(
@@ -63,6 +69,7 @@ def main(argv=None):
         mode=args.mode,
         state_dtype=args.state_dtype,
         validate=args.validate,
+        timing=args.timing,
     )
     print(json.dumps(stats))
 

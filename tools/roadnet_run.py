@@ -66,5 +66,6 @@ print(f"decomposed ({time.perf_counter()-tic:.1f}s)", flush=True)
 spmm_arrow.main([
     "--path", os.path.join(OUT, "roadnet"), "--width", str(width),
     "--features", "16", "--iterations", "30", "--mode", "auto",
-    "--validate", "true", "--log_dir", os.path.join(OUT, "logs"),
+    "--validate", "true", "--timing", "fori",
+    "--log_dir", os.path.join(OUT, "logs"),
 ])
