@@ -554,6 +554,11 @@ class WindowedBsr:
     # pass, no aliasing copy. ``residual`` is None.
     tiles_wcol: jnp.ndarray | None = None
     tiles_resid: jnp.ndarray | None = None
+    #: Consecutive aligned W-blocks each program may read (paired windows:
+    #: span=2 doubles the in-window column reach per program — the band
+    #: fits [win*W, (win+2)*W) and the residual empties — at one extra
+    #: pipelined window operand).
+    window_span: int = struct.field(pytree_node=False, default=1)
 
     @property
     def n_rows(self) -> int:
@@ -574,6 +579,7 @@ def windowed_bsr_from_csr(
     rows_per_program: int | None = None,
     residual_shape: tuple[int, int] | None = None,
     unified: bool = False,
+    window_span: int = 1,
 ) -> WindowedBsr:
     """Pack a (banded) CSR matrix into :class:`WindowedBsr`.
 
@@ -611,7 +617,7 @@ def windowed_bsr_from_csr(
 
     win_of_group = _group_windows(coo, tile_m, tile_n, W, n_row_tiles, RP)
     w = win_of_group[trow // RP]
-    in_win = (tcol >= w * W) & (tcol < (w + 1) * W)
+    in_win = (tcol >= w * W) & (tcol < (w + window_span) * W)
 
     def pick(mask, shift_cols):
         cols = coo.col[mask]
@@ -619,11 +625,18 @@ def windowed_bsr_from_csr(
             cols = cols - (win_of_group[trow[mask] // RP] * W * tile_n)
         M = sparse.csr_matrix(
             (coo.data[mask], (coo.row[mask], cols)),
-            shape=(A.shape[0], A.shape[1] if not shift_cols else W * tile_n),
+            shape=(
+                A.shape[0],
+                A.shape[1] if not shift_cols else window_span * W * tile_n,
+            ),
         )
         M.sum_duplicates()
         return M
 
+    if window_span not in (1, 2):
+        raise ValueError("window_span must be 1 or 2")
+    if unified and window_span != 1:
+        raise ValueError("unified windowed packs support window_span=1 only")
     if unified:
         # ONE BsrMat over ALL tiles in GLOBAL column ids; straddlers are
         # flagged per tile and fetched by conditional manual DMA inside the
@@ -636,7 +649,7 @@ def windowed_bsr_from_csr(
             np.asarray(inner.prog_rows), inner.tiles_per_program
         ).astype(np.int64)
         wg = win_of_group[groups]
-        inw = (cols >= wg * W) & (cols < (wg + 1) * W)
+        inw = (cols >= wg * W) & (cols < (wg + window_span) * W)
         wcol = np.where(inw, cols - wg * W, 0).astype(np.int32)
         flags = (~inw).astype(np.int32)
         prog_win = win_of_group[np.asarray(inner.prog_rows)].astype(np.int32)
@@ -652,6 +665,7 @@ def windowed_bsr_from_csr(
             n_windows=n_windows,
             tiles_wcol=jnp.asarray(wcol),
             tiles_resid=jnp.asarray(flags),
+            window_span=window_span,
         )
 
     # The inner matrix lives in window-local coordinates: its column space
@@ -688,6 +702,7 @@ def windowed_bsr_from_csr(
         residual=residual,
         window_tiles=W,
         n_windows=n_windows,
+        window_span=window_span,
     )
 
 
@@ -773,6 +788,59 @@ def _make_window_kernel(TB: int, TN: int, precision, RP: int = 1,
         # win_ref only drives the X BlockSpec index_map; compute is identical.
         del win_ref
         base(prog_rows_ref, cols_ref, lrows_ref, a_ref, x_ref, o_ref, acc_ref)
+
+    return kernel
+
+
+def _make_paired_window_kernel(TB: int, TN: int, precision, W: int,
+                               RP: int = 1, TM: int = 128):
+    """Window-span-2 variant: each program may read its aligned window AND
+    the next one (two pipelined X operands), so any band narrower than W
+    tiles fits [win*W, (win+2)*W) and the residual matrix empties."""
+
+    def kernel(prog_rows_ref, cols_ref, lrows_ref, win_ref, a_ref, x1_ref,
+               x2_ref, o_ref, acc_ref):
+        del win_ref
+        p = pl.program_id(0)
+        n_p = pl.num_programs(0)
+        row_here = prog_rows_ref[p]
+        is_first = jnp.logical_or(
+            p == 0, prog_rows_ref[jnp.maximum(p - 1, 0)] != row_here
+        )
+
+        @pl.when(is_first)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        for r in range(TB):
+            col = cols_ref[p * TB + r]
+            c1 = jnp.minimum(col, W - 1)
+            c2 = jnp.maximum(col - W, 0)
+            xb = jnp.where(
+                col < W,
+                x1_ref[pl.ds(c1 * TN, TN), :],
+                x2_ref[pl.ds(c2 * TN, TN), :],
+            )
+            dot = lax.dot_general(
+                a_ref[r].astype(jnp.float32),
+                xb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            if RP == 1:
+                acc_ref[:] += dot
+            else:
+                off = lrows_ref[p * TB + r] * TM
+                acc_ref[pl.ds(off, TM), :] += dot
+
+        is_last = jnp.logical_or(
+            p == n_p - 1, prog_rows_ref[jnp.minimum(p + 1, n_p - 1)] != row_here
+        )
+
+        @pl.when(is_last)
+        def _():
+            o_ref[:] = acc_ref[:]
 
     return kernel
 
@@ -885,10 +953,12 @@ def bsr_spmm_window(
     k = x.shape[1]
     b = m.inner
     TB, TM, TN, W = b.tiles_per_program, b.tile_m, b.tile_n, m.window_tiles
-    # Pad X to whole windows so the last window's block read stays in bounds
-    # (garbage-padded OOB reads could inject inf/NaN into zero-payload dots).
-    # Taller pre-padded operands (the state height) pass through untouched.
-    n_pad = max(m.n_windows * W * TN, b.n_col_tiles * TN)
+    # Pad X to whole windows so the last window's block reads stay in
+    # bounds — including the span-ahead paired operand (garbage-padded OOB
+    # reads could inject inf/NaN into zero-payload dots). Taller pre-padded
+    # operands (the state height) pass through untouched.
+    n_pad = max((m.n_windows + m.window_span - 1) * W * TN,
+                b.n_col_tiles * TN)
     assert x.shape[0] == b.n_col_tiles * TN or x.shape[0] >= n_pad, (
         x.shape, b.n_col_tiles * TN, n_pad)
     if n_pad > x.shape[0]:
@@ -947,6 +1017,33 @@ def bsr_spmm_window(
         )
         if ku != k:
             out = out[:, :k]
+    elif m.window_span == 2:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b.n_programs,),
+            in_specs=[
+                pl.BlockSpec(
+                    (TB, TM, TN), lambda p, rows, cols, lrows, win: (p, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (W * TN, k), lambda p, rows, cols, lrows, win: (win[p], 0)
+                ),
+                pl.BlockSpec(
+                    (W * TN, k),
+                    lambda p, rows, cols, lrows, win: (win[p] + 1, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (RP * TM, k), lambda p, rows, cols, lrows, win: (rows[p], 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((RP * TM, k), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            _make_paired_window_kernel(TB, TN, precision, W, RP, TM),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_out, k), jnp.float32),
+            interpret=interpret,
+        )(b.prog_rows, b.tiles_col, lrow, m.prog_win, b.tiles_data, x, x)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -1008,12 +1105,16 @@ def bsr_spmm_window(
 
 def window_padded_rows(m: WindowedBsr) -> int:
     """Operand (and raw-output) height of the zero-copy windowed fast path:
-    the whole-window input bound, rounded up to the output's program-group
+    the whole-window input bound (the LAST program's furthest window
+    operand, span blocks ahead), rounded up to the output's program-group
     unit so the kernel can emit the state height directly (no epilogue row
     pad)."""
     b = m.inner
     unit = b.rows_per_program * b.tile_m
-    H = max(m.n_windows * m.window_tiles * b.tile_n, b.n_col_tiles * b.tile_n)
+    H = max(
+        (m.n_windows + m.window_span - 1) * m.window_tiles * b.tile_n,
+        b.n_col_tiles * b.tile_n,
+    )
     return -(-H // unit) * unit
 
 

@@ -347,16 +347,29 @@ def _choose_format(Bt, k_hint, slots_per_row, force_format, dtype=np.float32):
     fmt = force_format or preferred_format(Bt, k_hint)
     if fmt == "ell" and force_format is None:
         # Mixed structure: peel dense tiles onto the MXU when they hold a
-        # meaningful share of the nonzeros.
+        # meaningful share of the nonzeros — but ONLY when the dense part
+        # can run the RESIDENT kernel. With the streaming kernel calibrated
+        # (round 3) preferred_format also answers "bsr" for VMEM-infeasible
+        # peels, where hybrid measured 2x SLOWER than pure gather-ELL on
+        # BA-200k (12.66 vs 6.63 ms): the per-tile X re-streams plus the
+        # extra combine pass eat the win the model predicted.
+        import arrow_matrix_tpu.ops.tiling as _tiling
+        from arrow_matrix_tpu.ops.tiling import vmem_resident_bytes
+
         dense, rest = split_by_tile_density(Bt)
-        if dense.nnz >= max(16384, Bt.nnz // 8):
-            occ, _, _ = tile_density_stats(dense)
-            if preferred_format(dense, k_hint) == "bsr":
-                return (
-                    "hybrid",
-                    bsr_from_csr(dense, dtype=dtype),
-                    ell_from_csr(rest, slots_per_row, dtype=dtype),
-                )
+        if (
+            dense.nnz >= max(16384, Bt.nnz // 8)
+            and vmem_resident_bytes(
+                -(-Bt.shape[1] // 128) * 128, min(k_hint, 128)
+            )
+            <= _tiling.DEFAULT_VMEM_BUDGET
+            and preferred_format(dense, k_hint) == "bsr"
+        ):
+            return (
+                "hybrid",
+                bsr_from_csr(dense, dtype=dtype),
+                ell_from_csr(rest, slots_per_row, dtype=dtype),
+            )
     if fmt == "bsr":
         return fmt, bsr_from_csr(Bt, dtype=dtype), None
     return "ell", ell_from_csr(Bt, slots_per_row, dtype=dtype), None

@@ -291,3 +291,39 @@ def test_unified_windowed_no_straddlers():
     y = np.asarray(bsr_spmm_window(mu, jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(y[: A.shape[0]], A @ x[: A.shape[1]],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_paired_window_span2():
+    """window_span=2: a band narrower than W tiles empties the residual and
+    the paired-operand kernel matches scipy."""
+    A = banded_random(3000, 400, 0.2, seed=31)
+    m1 = windowed_bsr_from_csr(A, window_tiles=4)
+    m2 = windowed_bsr_from_csr(A, window_tiles=4, window_span=2)
+    assert m1.residual is not None
+    assert m2.residual is None or m2.residual.n_tiles < m1.residual.n_tiles
+    from arrow_matrix_tpu.ops.bsr_pallas import window_padded_rows
+
+    H = window_padded_rows(m2)
+    rng = np.random.default_rng(32)
+    x = np.zeros((H, 16), np.float32)
+    x[: A.shape[1]] = rng.standard_normal((A.shape[1], 16), dtype=np.float32)
+    y = np.asarray(bsr_spmm_window(m2, jnp.asarray(x), interpret=True,
+                                   raw=True, out_rows=H))
+    ref = A @ x[: A.shape[1]]
+    np.testing.assert_allclose(y[: A.shape[0]], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_paired_window_scattered_keeps_residual():
+    """Uniform-random columns exceed even the 2W span: correctness holds
+    through the residual path."""
+    A = sparse.random(1200, 1200, density=0.01, format="csr",
+                      dtype=np.float32, random_state=33)
+    m = windowed_bsr_from_csr(A, window_tiles=2, window_span=2)
+    n_pad = (m.n_windows + 1) * 2 * 128
+    n_pad = max(n_pad, m.inner.n_col_tiles * 128)
+    rng = np.random.default_rng(34)
+    x = np.zeros((n_pad, 8), np.float32)
+    x[: A.shape[1]] = rng.standard_normal((A.shape[1], 8), dtype=np.float32)
+    y = np.asarray(bsr_spmm_window(m, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y[: A.shape[0]], A @ x[: A.shape[1]],
+                               rtol=1e-4, atol=1e-4)
