@@ -569,9 +569,24 @@ class WindowedBsr:
         return self.inner.n_cols
 
 
+#: Default X-window size in column tiles when the caller doesn't pin one:
+#: measured on grid-1M (k=128, round 3): W=64 8.19 ms, W=128 7.64,
+#: W=256 6.83 (585 M nnz/s) — bigger windows cut both window transitions
+#: and straddler tiles at the same total fetch volume. The double-buffered
+#: window block costs 2*W*128*k*4 bytes of VMEM (W=256, k=128 -> 32 MB;
+#: the windowed pallas_calls raise Mosaic's limit to 100 MB).
+DEFAULT_WINDOW_TILES = 256
+
+
+def auto_window_tiles(n_col_tiles: int) -> int:
+    """Largest useful window for an operand: no wider than the (8-rounded)
+    column tile count."""
+    return max(8, min(DEFAULT_WINDOW_TILES, -(-n_col_tiles // 8) * 8))
+
+
 def windowed_bsr_from_csr(
     A: sparse.csr_matrix,
-    window_tiles: int = 64,
+    window_tiles: int | None = None,
     tile_m: int = 128,
     tile_n: int = 128,
     dtype=np.float32,
@@ -597,9 +612,13 @@ def windowed_bsr_from_csr(
     :func:`choose_program_shape` on the row tile counts."""
     A = A.tocsr()
     A.sum_duplicates()
-    W = window_tiles
     coo = A.tocoo()
     n_col_tiles = max(1, -(-A.shape[1] // tile_n))
+    W = (
+        window_tiles
+        if window_tiles is not None
+        else auto_window_tiles(n_col_tiles)
+    )
     n_row_tiles = max(1, -(-A.shape[0] // tile_m))
     trow = (coo.row // tile_m).astype(np.int64)
     tcol = (coo.col // tile_n).astype(np.int64)
@@ -814,25 +833,30 @@ def _make_paired_window_kernel(TB: int, TN: int, precision, W: int,
 
         for r in range(TB):
             col = cols_ref[p * TB + r]
-            c1 = jnp.minimum(col, W - 1)
-            c2 = jnp.maximum(col - W, 0)
-            xb = jnp.where(
-                col < W,
-                x1_ref[pl.ds(c1 * TN, TN), :],
-                x2_ref[pl.ds(c2 * TN, TN), :],
-            )
-            dot = lax.dot_general(
-                a_ref[r].astype(jnp.float32),
-                xb,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-            if RP == 1:
-                acc_ref[:] += dot
-            else:
-                off = lrows_ref[p * TB + r] * TM
-                acc_ref[pl.ds(off, TM), :] += dot
+
+            def accum(xb):
+                dot = lax.dot_general(
+                    a_ref[r].astype(jnp.float32),
+                    xb,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+                if RP == 1:
+                    acc_ref[:] += dot
+                else:
+                    off = lrows_ref[p * TB + r] * TM
+                    acc_ref[pl.ds(off, TM), :] += dot
+
+            # Conditional accumulation per operand (a select over two
+            # dynamic VMEM loads failed Mosaic compilation).
+            @pl.when(col < W)
+            def _():
+                accum(x1_ref[pl.ds(jnp.minimum(col, W - 1) * TN, TN), :])
+
+            @pl.when(col >= W)
+            def _():
+                accum(x2_ref[pl.ds((col - W) * TN, TN), :])
 
         is_last = jnp.logical_or(
             p == n_p - 1, prog_rows_ref[jnp.minimum(p + 1, n_p - 1)] != row_here
@@ -1010,6 +1034,9 @@ def bsr_spmm_window(
             _make_unified_window_kernel(TB, TN, precision, RP, TM),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_out, ku), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
         )(
             b.prog_rows, b.tiles_col, lrow, m.prog_win, m.tiles_wcol,
@@ -1042,6 +1069,9 @@ def bsr_spmm_window(
             _make_paired_window_kernel(TB, TN, precision, W, RP, TM),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_out, k), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
         )(b.prog_rows, b.tiles_col, lrow, m.prog_win, b.tiles_data, x, x)
     else:
@@ -1065,6 +1095,11 @@ def bsr_spmm_window(
             _make_window_kernel(TB, TN, precision, RP, TM),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_out, k), jnp.float32),
+            # The window block double-buffers 2*W*TN*k*4 bytes; the default
+            # Mosaic VMEM limit rejects W=128 at k=128 (v5e: 128MB physical).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
         )(b.prog_rows, b.tiles_col, lrow, m.prog_win, b.tiles_data, x)
     if not b.all_occupied:
@@ -1217,7 +1252,7 @@ def stack_bsr_from_csr(
 
 def stack_windowed_from_csr(
     blocks: list[sparse.csr_matrix],
-    window_tiles: int = 64,
+    window_tiles: int | None = None,
     tile_m: int = 128,
     tile_n: int = 128,
     dtype=np.float32,
@@ -1230,6 +1265,10 @@ def stack_windowed_from_csr(
     their windows (an all-zero stacked residual would still stream).
     One (TB, RP) program shape is chosen for the whole stack (stacked mats
     must share it); residuals are packed at the fixed shape (8, 1)."""
+    if window_tiles is None:
+        window_tiles = auto_window_tiles(
+            max(1, -(-max(b.shape[1] for b in blocks) // tile_n))
+        )
     auto_tb, auto_rp = _stack_program_shape(blocks, tile_m, tile_n)
     if tiles_per_program is not None:
         auto_tb = tiles_per_program
