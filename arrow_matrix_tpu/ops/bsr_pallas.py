@@ -778,7 +778,7 @@ def _group_windows(coo, tile_m, tile_n, W, n_row_tiles, RP=1) -> np.ndarray:
 
 def windowed_tile_fraction(
     A: sparse.csr_matrix,
-    window_tiles: int = 64,
+    window_tiles: int | None = None,
     tile_m: int = 128,
     tile_n: int = 128,
 ) -> float:
@@ -786,6 +786,10 @@ def windowed_tile_fraction(
     same nnz-median window choice :func:`windowed_bsr_from_csr` makes, at
     rows_per_program=1 — a slightly optimistic probe for grouped packs) —
     the cost model's cheap feasibility probe for :class:`WindowedBsr`."""
+    if window_tiles is None:
+        window_tiles = auto_window_tiles(
+            max(1, -(-A.shape[1] // tile_n))
+        )
     coo = A.tocoo()
     if coo.nnz == 0:
         return 1.0
