@@ -99,6 +99,26 @@ BSR_TILE_STREAM_NS = 111.0
 BSR_PROGRAM_NS = 312.0
 
 
+def resolve_tile_dtype(dtype, values):
+    """Resolve the BSR tile-payload dtype, with ``"auto"`` meaning: use
+    bfloat16 when every nonzero value is EXACTLY bf16-representable (unit
+    edge weights — every generator graph and typical adjacency matrices),
+    else float32.
+
+    The kernels upcast each tile to f32 before the MXU dot
+    (``a_ref[r].astype(jnp.float32)``), so a lossless bf16 payload yields
+    bit-identical results while halving the A-tile HBM stream — the
+    dominant term of the windowed step on big banded operators (grid-1M:
+    5.47 ms of the 8.32 ms step streams 2.0 GB of f32 tiles at 0.8%
+    density). NaNs or non-representable values fall back to f32."""
+    if not (isinstance(dtype, str) and dtype == "auto"):
+        return dtype or np.float32
+    v = np.asarray(values, dtype=np.float32)
+    if v.size and bool(np.all(v == v.astype(jnp.bfloat16).astype(np.float32))):
+        return jnp.bfloat16
+    return np.float32
+
+
 def choose_program_shape(
     row_tile_counts: np.ndarray,
     max_tb: int = 16,

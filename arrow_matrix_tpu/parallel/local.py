@@ -243,6 +243,7 @@ def compile_single_chip(
     k_hint: int = 16,
     refine: str = "auto",
     region_rows: int | None = None,
+    matrix_dtype="auto",
 ):
     """Compile the best single-chip executor and return ``(plan, step_fn)``.
 
@@ -255,6 +256,11 @@ def compile_single_chip(
     merged local plan is best (scattered families: region partitioning pays
     partial-sum traffic for nothing; small matrices: the merged format
     chooser already picks BSR directly).
+
+    ``matrix_dtype``: BSR tile-payload dtype; the default ``"auto"`` uses
+    bfloat16 for the HBM-streaming windowed format when every value is
+    exactly bf16-representable (bit-identical results, half the tile DMA —
+    see :func:`arrow_matrix_tpu.ops.bsr_pallas.resolve_tile_dtype`).
     """
     from arrow_matrix_tpu.io.graphio import as_csr
     from arrow_matrix_tpu.plan.compile import pad_permutation
@@ -276,6 +282,7 @@ def compile_single_chip(
     Bt, padded_perms, applied = rcm_refine_merged(Bt, padded_perms, refine)
 
     if applied and cut > BSR_REGION_ROWS:
+        from arrow_matrix_tpu.ops.bsr_pallas import resolve_tile_dtype
         from arrow_matrix_tpu.ops.dispatch import maybe_windowed
 
         # Once the windowed kernel is calibrated it supersedes the region
@@ -284,7 +291,9 @@ def compile_single_chip(
         # merged plan just to inspect its chosen format would pay the whole
         # format build (windowed pack + ELL chunking over the merged nnz)
         # even when the region executor wins.
-        wm = maybe_windowed(Bt, k_hint)
+        wm = maybe_windowed(
+            Bt, k_hint, dtype=resolve_tile_dtype(matrix_dtype, Bt.data)
+        )
         if wm is not None:
             from arrow_matrix_tpu.ops.bsr_pallas import window_padded_rows
 
@@ -320,28 +329,44 @@ def compile_single_chip(
         )
         return plan, region_step
     plan = local_plan_from_merged(
-        Bt, cut, padded_perms, width, q, n, k_hint=k_hint
+        Bt, cut, padded_perms, width, q, n, k_hint=k_hint,
+        matrix_dtype=matrix_dtype,
     )
     return plan, local_step
 
 
 def _choose_format(Bt, k_hint, slots_per_row, force_format, dtype=np.float32):
     """Pick 'ell', 'bsr', 'window', or 'hybrid' for a level matrix and build
-    it. ``dtype=jnp.bfloat16`` halves the BSR tile stream and the ELL value
-    traffic (values are rounded; accumulation stays float32). Measured on
-    v5e: bf16 payloads do NOT speed up the dense regimes (the MXU's
-    HIGHEST-precision passes dominate, not the tile stream), so bf16 stays
-    strictly opt-in."""
-    from arrow_matrix_tpu.ops.bsr_pallas import windowed_bsr_from_csr
+    it. ``dtype`` sets the BSR tile payload: ``"auto"`` (resolve_tile_dtype)
+    uses bfloat16 when it is LOSSLESS — every value exactly
+    bf16-representable, so the upcast-before-dot kernels return
+    bit-identical results with half the tile DMA stream. Explicit
+    ``jnp.bfloat16`` also halves the ELL value traffic (values rounded;
+    accumulation stays float32). Measured on v5e round 2: bf16 payloads do
+    NOT speed up the dense VMEM-resident regimes (the MXU's
+    HIGHEST-precision passes dominate, not the tile stream) — the win is
+    the HBM-streaming windowed path."""
+    from arrow_matrix_tpu.ops.bsr_pallas import (
+        resolve_tile_dtype,
+        windowed_bsr_from_csr,
+    )
     from arrow_matrix_tpu.ops.dispatch import maybe_windowed
 
+    tile_dtype = resolve_tile_dtype(dtype, Bt.data)
+    # Under "auto" only the HBM-STREAMING windowed payloads switch: resident
+    # BSR re-streams tiles from VMEM (bf16 measured neutral there, round 2)
+    # and ELL value traffic is minor next to the gathered rows (512 B/row
+    # regardless of k) — nothing to win, so both stay f32 unless the caller
+    # asks explicitly.
+    explicit = np.float32 if isinstance(dtype, str) else (dtype or np.float32)
+    ell_dtype = resident_dtype = explicit
     if force_format == "window":
-        return "window", windowed_bsr_from_csr(Bt, dtype=dtype), None
+        return "window", windowed_bsr_from_csr(Bt, dtype=tile_dtype), None
     if force_format is None:
         # Calibrated windowed kernel beats both the gather floor and the
         # streaming kernel on banded operators beyond VMEM residency
         # (gate in ops.dispatch.maybe_windowed).
-        wm = maybe_windowed(Bt, k_hint, dtype=dtype)
+        wm = maybe_windowed(Bt, k_hint, dtype=tile_dtype)
         if wm is not None:
             return "window", wm, None
     fmt = force_format or preferred_format(Bt, k_hint)
@@ -367,12 +392,12 @@ def _choose_format(Bt, k_hint, slots_per_row, force_format, dtype=np.float32):
         ):
             return (
                 "hybrid",
-                bsr_from_csr(dense, dtype=dtype),
-                ell_from_csr(rest, slots_per_row, dtype=dtype),
+                bsr_from_csr(dense, dtype=resident_dtype),
+                ell_from_csr(rest, slots_per_row, dtype=ell_dtype),
             )
     if fmt == "bsr":
-        return fmt, bsr_from_csr(Bt, dtype=dtype), None
-    return "ell", ell_from_csr(Bt, slots_per_row, dtype=dtype), None
+        return fmt, bsr_from_csr(Bt, dtype=resident_dtype), None
+    return "ell", ell_from_csr(Bt, slots_per_row, dtype=ell_dtype), None
 
 
 def state_cols(plan, k: int) -> int:

@@ -327,3 +327,72 @@ def test_paired_window_scattered_keeps_residual():
     y = np.asarray(bsr_spmm_window(m, jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(y[: A.shape[0]], A @ x[: A.shape[1]],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_resolve_tile_dtype_auto():
+    """'auto' picks bfloat16 only when every value is exactly
+    bf16-representable; explicit dtypes pass through untouched."""
+    from arrow_matrix_tpu.ops.bsr_pallas import resolve_tile_dtype
+
+    assert resolve_tile_dtype("auto", np.ones(7, np.float32)) == jnp.bfloat16
+    assert resolve_tile_dtype("auto", np.array([1.0, -2.0, 0.5])) == jnp.bfloat16
+    assert resolve_tile_dtype("auto", np.array([0.1], np.float32)) == np.float32
+    assert resolve_tile_dtype("auto", np.array([np.nan])) == np.float32
+    assert resolve_tile_dtype("auto", np.zeros(0)) == np.float32
+    assert resolve_tile_dtype(None, np.array([1.0])) == np.float32
+    assert resolve_tile_dtype(jnp.bfloat16, np.array([0.1])) == jnp.bfloat16
+
+
+def test_bf16_tiles_bitexact_on_unit_weights():
+    """Lossless bf16 tile payloads: the kernels upcast tiles to f32 before
+    the dot, so unit-weight matrices give BIT-identical results to the f32
+    payload with half the tile stream."""
+    A = banded_random(3000, 300, 0.3, seed=40)
+    A.data[:] = 1.0
+    mf = windowed_bsr_from_csr(A, window_tiles=4, dtype=np.float32)
+    mb = windowed_bsr_from_csr(A, window_tiles=4, dtype=jnp.bfloat16)
+    assert mb.inner.tiles_data.dtype == jnp.bfloat16
+    if mb.residual is not None:
+        assert mb.residual.tiles_data.dtype == jnp.bfloat16
+    n_pad = max((mf.n_windows + mf.window_span - 1) * 4 * 128,
+                mf.inner.n_col_tiles * 128)
+    rng = np.random.default_rng(41)
+    x = np.zeros((n_pad, 16), np.float32)
+    x[: A.shape[1]] = rng.standard_normal((A.shape[1], 16), dtype=np.float32)
+    yf = np.asarray(bsr_spmm_window(mf, jnp.asarray(x), interpret=True))
+    yb = np.asarray(bsr_spmm_window(mb, jnp.asarray(x), interpret=True))
+    np.testing.assert_array_equal(yf, yb)
+
+
+def test_compile_single_chip_auto_bf16(monkeypatch):
+    """compile_single_chip's window branch packs bf16 tile payloads under
+    matrix_dtype='auto' on unit-weight operators and stays correct."""
+    import jax
+    import arrow_matrix_tpu.ops.bsr_pallas as bp
+    import arrow_matrix_tpu.parallel.region as rg_mod
+    from arrow_matrix_tpu.parallel.local import (
+        LocalArrowPlan,
+        compile_single_chip,
+        local_step,
+        state_cols,
+    )
+
+    import arrow_matrix_tpu.ops.tiling as tiling
+
+    monkeypatch.setattr(rg_mod, "BSR_REGION_ROWS", 1024)
+    monkeypatch.setattr(tiling, "DEFAULT_VMEM_BUDGET", 1 << 18)
+    monkeypatch.setattr(bp, "BSR_WINDOW_NS_PER_TILE", 1.0)
+    A, width, decomp = _grid_decomp(side=60)
+    plan, step = compile_single_chip(decomp, width, k_hint=16,
+                                     refine="always")
+    assert isinstance(plan, LocalArrowPlan)
+    assert plan.levels[0].fmt == "window"
+    assert plan.levels[0].mat.inner.tiles_data.dtype == jnp.bfloat16
+    rng = np.random.default_rng(42)
+    cols = state_cols(plan, 16)
+    x = np.zeros((plan.padded_rows, cols), np.float32)
+    x[:, :16] = rng.random((plan.padded_rows, 16), dtype=np.float32)
+    y = np.asarray(jax.jit(step)(jax.device_put(plan), jnp.asarray(x)))
+    np.testing.assert_allclose(
+        _golden(A, plan, x[:, :16]), y[: x.shape[0], :16], rtol=1e-4, atol=1e-4
+    )
