@@ -111,6 +111,11 @@ def resolve_tile_dtype(dtype, values):
     dominant term of the windowed step on big banded operators (grid-1M:
     5.47 ms of the 8.32 ms step streams 2.0 GB of f32 tiles at 0.8%
     density). NaNs or non-representable values fall back to f32."""
+    if isinstance(dtype, str) and dtype != "auto":
+        # Normalize string dtypes up front ("bfloat16", "float32", ...) so
+        # an unrecognized name fails HERE with a clear error instead of
+        # deep inside a downstream np.zeros call.
+        return jnp.dtype(dtype)
     if not (isinstance(dtype, str) and dtype == "auto"):
         return dtype or np.float32
     v = np.asarray(values, dtype=np.float32)

@@ -72,7 +72,6 @@ def main():
         n = A.shape[0]
         xh = np.zeros((plan.padded_rows, args.k), np.float32)
         xh[:] = x0[:, : args.k]
-        ref = np.zeros_like(xh)
         src = np.zeros(n, dtype=np.int64)
         src[P0[P0 < n]] = np.nonzero(P0 < n)[0]
         # golden: y[P0 rows] = A @ x[P0 cols]
