@@ -45,6 +45,8 @@ def bench_spmm(
     state_dtype: str = "float32",
     validate: bool = False,
     timing: str = "per_step",
+    row_split: int = 1,
+    fresh_features: bool = True,
 ) -> dict:
     """Run the iterated arrow SpMM benchmark; returns summary statistics.
 
@@ -72,6 +74,18 @@ def bench_spmm(
         applied to the arrow path, scripts/spmm_15d_main.py:156-223); the
         relative error is printed, recorded in the stats, and raised on if
         above 1e-2.
+    :param row_split: fat layout — split every block's panels over this many
+        extra mesh devices (``n_devices * row_split`` total, the TPU
+        generalization of the reference's 2q−1-rank fat layout / its
+        ``--ranksperside`` knob, scripts/spmm_arrow_main.py:10-29 and
+        arrow/arrow_mpi.py:26-93); per-device matrix and block-state bytes
+        scale 1/row_split.
+    :param fresh_features: re-randomize the features before every timed
+        iteration — the reference's benchmark contract (each timed step is
+        ``A @ fresh_X``, reference: arrow/arrow_bench.py:113-117). The
+        randomization happens OUTSIDE the timed span, like the reference's.
+        ``timing='fori'`` necessarily iterates the state instead
+        (``A^t @ X``) and ignores this.
     """
     devices = jax.devices()
     n_devices = n_devices or len(devices)
@@ -113,15 +127,17 @@ def bench_spmm(
     from arrow_matrix_tpu.parallel.blocked import blocked_step, compile_blocked_plan
     from arrow_matrix_tpu.parallel.local import compile_single_chip
 
+    distributed = n_devices > 1 or row_split > 1
     step_fn = None
     with metrics.span("plan_compile_time"):
-        if n_devices > 1:
+        if distributed:
             plan = compile_plan(
                 decomposition,
                 width,
                 n_devices,
                 block_diagonal=block_diagonal,
                 k_hint=features,
+                row_split=row_split,
             )
         elif mode == "blocked":
             plan = compile_blocked_plan(
@@ -142,16 +158,30 @@ def bench_spmm(
     nnz = sum(graphio.csr_nnz(m) for m, _ in decomposition)
 
     rng = np.random.default_rng(seed + 1)
-    if n_devices > 1:
-        runner = ArrowSpmm(
-            plan, block_mesh(n_devices), state_dtype=jnp.dtype(state_dtype)
-        )
+    if distributed:
+        if row_split > 1:
+            from arrow_matrix_tpu.parallel.fat import FatArrowSpmm, fat_mesh
+
+            runner = FatArrowSpmm(
+                plan,
+                fat_mesh(n_devices, row_split),
+                state_dtype=jnp.dtype(state_dtype),
+            )
+        else:
+            runner = ArrowSpmm(
+                plan, block_mesh(n_devices), state_dtype=jnp.dtype(state_dtype)
+            )
         x = runner.distribute(random_dense(plan.n_rows, features, seed=seed + 1))
         # Profile mode: separately jitted phases emitting the reference's
         # span taxonomy (spmm_kernel_time, spmm_x_bcast_time,
         # spmm_row_reduce, forward/back_agg_all_to_all_v) per iteration
-        # (reference: arrow/arrow_mpi.py:196-299).
-        step = runner.step_phased if profile else runner.step
+        # (reference: arrow/arrow_mpi.py:196-299). The fat runner has no
+        # phased mirror — profile falls back to the fused step there.
+        step = (
+            runner.step_phased
+            if profile and hasattr(runner, "step_phased")
+            else runner.step
+        )
     else:
         from arrow_matrix_tpu.parallel.local import state_cols
 
@@ -184,7 +214,7 @@ def bench_spmm(
         golden = compute_spmm(
             [(as_csr(m), np.asarray(p)) for m, p in decomposition], Xv
         )
-        if n_devices > 1:
+        if distributed:
             got = runner.collect(runner.step(runner.distribute(Xv)))
         else:
             perm0 = np.asarray(plan.permutations[0])
@@ -207,7 +237,7 @@ def bench_spmm(
     x = step(x)
     jax.block_until_ready(x)
 
-    if timing == "fori" and n_devices == 1 and not profile:
+    if timing == "fori" and not distributed and not profile:
         # Differenced 1- vs N-iteration fori_loop timing: through the axon
         # relay each dispatch carries ~15-40 ms fixed cost, which the
         # per-step taxonomy below cannot separate from the device step
@@ -246,6 +276,20 @@ def bench_spmm(
     times = []
     for it in range(iterations):
         metrics.set_iteration_data({"iteration": it})
+        if fresh_features:
+            # The reference's benchmark contract: every timed step multiplies
+            # FRESH random features (set on matrix-0 column ranks each
+            # iteration, reference: arrow/arrow_bench.py:113-117) — the
+            # randomization itself stays outside the timed span.
+            if distributed:
+                x = runner.distribute(
+                    random_dense(plan.n_rows, features, seed=seed + 10 + it)
+                )
+            else:
+                xh[:, :features] = rng.random(
+                    (plan.padded_rows, features), dtype=np.float32
+                )
+                x = jnp.asarray(xh)
         ok = True
         tic = time.perf_counter()
         try:
@@ -273,7 +317,7 @@ def bench_spmm(
     }
     if validate:
         stats["validate_rel_err"] = rel
-    if n_devices > 1:
+    if distributed:
         # Exact per-device communication volume of the distributed program
         # (the reference's headline O(width*k) claim, README.md:3).
         from arrow_matrix_tpu.plan.comm import arrow_comm_volume

@@ -45,6 +45,13 @@ def main(argv=None):
                         "reference's --gpu-tiling knob, "
                         "scripts/spmm_15d_main.py:68)")
     p.add_argument("--log_dir", type=str, default="./logs")
+    p.add_argument("--timing", choices=["per_step", "fori"],
+                   default="per_step",
+                   help="per_step mirrors the reference's timeit loop "
+                        "(scripts/spmm_15d_main.py:231-276); fori differences "
+                        "a 1- vs N-iteration fori_loop of the square step "
+                        "X <- A X, separating the device step from the fixed "
+                        "per-dispatch relay cost")
     args = p.parse_args(argv)
 
     n_dev = args.devices or len(jax.devices())
@@ -109,23 +116,33 @@ def main(argv=None):
         print(f"validation relative error: {rel:.3e}")
         assert rel < 1e-4, "validation FAILED"
 
-    times = []
-    for it in range(args.iterations):
-        metrics.set_iteration_data({"iteration": it})
-        tic = time.perf_counter()
-        y = runner.spmm(x)
-        jax.block_until_ready(y)
-        toc = time.perf_counter()
-        times.append(toc - tic)
-        metrics.log({"spmm_time": toc - tic})
+    if args.timing == "fori":
+        from arrow_matrix_tpu.utils.profiling import fori_time
+
+        med = fori_time(
+            runner._step, runner.device_lA, x, args.iterations
+        )
+        metrics.log({"spmm_time": med})
+    else:
+        times = []
+        for it in range(args.iterations):
+            metrics.set_iteration_data({"iteration": it})
+            tic = time.perf_counter()
+            y = runner.spmm(x)
+            jax.block_until_ready(y)
+            toc = time.perf_counter()
+            times.append(toc - tic)
+            metrics.log({"spmm_time": toc - tic})
+        med = float(np.median(times))
     metrics.finish(args.log_dir)
 
-    med = float(np.median(times))
     print(json.dumps({
         "median_spmm_time": med,
         "nnz": nnz,
         "nnz_per_s": nnz / med,
         "replication": c,
+        "timing": args.timing,
+        "format": runner.fmt,
     }))
 
 

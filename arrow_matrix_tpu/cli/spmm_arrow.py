@@ -41,6 +41,17 @@ def main(argv=None):
                    default="float32",
                    help="multi-device iteration-state dtype; bfloat16 halves "
                         "per-device state HBM and routing wire bytes")
+    p.add_argument("--row_split", type=int, default=1,
+                   help="fat layout: split every block's panels over this "
+                        "many extra devices (devices*row_split total) — the "
+                        "TPU mapping of the reference's --ranksperside/"
+                        "--slim knobs (scripts/spmm_arrow_main.py:10-29); "
+                        "1 = slim")
+    p.add_argument("--fresh_features", type=str2bool, default=True,
+                   help="re-randomize features before every timed iteration "
+                        "(the reference's benchmark contract, "
+                        "arrow/arrow_bench.py:113-117); --timing fori "
+                        "iterates the state instead and ignores this")
     p.add_argument("--validate", type=str2bool, default=False,
                    help="full gather-and-compare of one device product vs "
                         "the host compute_spmm golden before timing")
@@ -70,6 +81,8 @@ def main(argv=None):
         state_dtype=args.state_dtype,
         validate=args.validate,
         timing=args.timing,
+        row_split=args.row_split,
+        fresh_features=args.fresh_features,
     )
     print(json.dumps(stats))
 

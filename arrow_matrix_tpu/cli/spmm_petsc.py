@@ -62,6 +62,12 @@ def main(argv=None):
     p.add_argument("--dryrun", type=str2bool, default=False)
     p.add_argument("--validate", type=str2bool, default=False)
     p.add_argument("--log_dir", type=str, default="./logs")
+    p.add_argument("--timing", choices=["per_step", "fori"],
+                   default="per_step",
+                   help="per_step mirrors the reference's per-iteration "
+                        "spans (spmm_petsc.py:471-492); fori differences a "
+                        "1- vs N-iteration fori_loop of X <- A X, separating "
+                        "the device step from the fixed per-dispatch cost")
     args = p.parse_args(argv)
 
     n_dev = args.devices or len(jax.devices())
@@ -113,22 +119,31 @@ def main(argv=None):
         print(f"validation relative error: {rel:.3e}")
         assert rel < 1e-4, "validation FAILED"
 
-    times = []
-    for it in range(args.iterations):
-        metrics.set_iteration_data({"iteration": it})
-        tic = time.perf_counter()
-        y = runner.step(x)
-        jax.block_until_ready(y)
-        toc = time.perf_counter()
-        times.append(toc - tic)
-        metrics.log({"spmm_time": toc - tic})
+    if args.timing == "fori":
+        from arrow_matrix_tpu.utils.profiling import fori_time
+
+        med = fori_time(
+            runner._step, runner.device_plan, x, args.iterations
+        )
+        metrics.log({"spmm_time": med})
+    else:
+        times = []
+        for it in range(args.iterations):
+            metrics.set_iteration_data({"iteration": it})
+            tic = time.perf_counter()
+            y = runner.step(x)
+            jax.block_until_ready(y)
+            toc = time.perf_counter()
+            times.append(toc - tic)
+            metrics.log({"spmm_time": toc - tic})
+        med = float(np.median(times))
     metrics.finish(args.log_dir)
 
-    med = float(np.median(times))
     print(json.dumps({
         "median_spmm_time": med,
         "nnz": int(A.nnz),
         "nnz_per_s": A.nnz / med,
+        "timing": args.timing,
     }))
 
 

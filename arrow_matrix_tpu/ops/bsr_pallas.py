@@ -988,6 +988,7 @@ def bsr_spmm_window(
     precision=lax.Precision.HIGHEST,
     raw: bool = False,
     out_rows: int | None = None,
+    tail: str = "zero",
 ) -> jnp.ndarray:
     """``Y = A @ X`` for a banded matrix with X windows streamed from HBM
     (no VMEM residency bound; each window fetched ~once on banded
@@ -999,6 +1000,17 @@ def bsr_spmm_window(
     padded here. With ``raw=True`` the group-padded
     (n_row_groups * RP * TM, k) output is returned unsliced so the caller
     can fuse the epilogue (slice + downstream add) into one pass.
+
+    ``tail`` governs the ``out_rows`` overhang beyond the group grid, which
+    no program ever writes: ``"zero"`` zeroes it per call (a
+    dynamic_update_slice between two custom calls — XLA materializes it as
+    a FULL-SIZE buffer copy, measured 1.57 ms at 1M rows); ``"undef"``
+    leaves it uninitialized. "undef" is only legal when no dot ever reads
+    those rows — true whenever ``n_col_tiles*tile_n <= group_rows`` (square
+    merged operators: every dot slices the operand strictly below the
+    column-tile bound) — and the caller treats them as garbage. NOTE: in
+    interpret mode (CPU tests) unwritten rows happen to read as zeros, so
+    only hardware exercises the distinction.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1133,7 +1145,7 @@ def bsr_spmm_window(
         )(b.prog_rows, b.tiles_col, lrow, m.prog_win, b.tiles_data, x)
     if not b.all_occupied:
         out = jnp.where(_group_mask(b, n_out), out, 0.0)
-    elif n_out > group_rows:
+    elif n_out > group_rows and tail == "zero":
         # Zero the never-written tail BEFORE the residual folds in (the
         # residual shares the group grid, so it never writes there either);
         # doing it first keeps the aliased-accumulate chain linear.

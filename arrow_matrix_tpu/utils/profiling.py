@@ -40,6 +40,28 @@ def trace(path: str):
         yield
 
 
+def fori_time(step_fn, plan, x, iterations: int) -> float:
+    """Differenced 1- vs N-iteration ``fori_loop`` timing of one iterated
+    step, returning seconds/iteration. Through the axon relay every dispatch
+    carries ~15-40 ms fixed cost; differencing two loop lengths isolates the
+    device step. ``plan`` rides as a jit ARGUMENT (closed-over device arrays
+    re-materialize as HLO constants and can trip the relay's compile body
+    limit)."""
+    import time
+
+    import jax.numpy as jnp  # noqa: F401 — keep jax imported lazily above
+
+    run = jax.jit(
+        lambda p, v, n: jax.lax.fori_loop(0, n, lambda i, s: step_fn(p, s), v),
+        static_argnums=2,
+    )
+    sync(run(plan, x, 1))
+    sync(run(plan, x, iterations))
+    tic = time.perf_counter(); sync(run(plan, x, 1)); t1 = time.perf_counter() - tic
+    tic = time.perf_counter(); sync(run(plan, x, iterations)); tn = time.perf_counter() - tic
+    return max((tn - t1) / max(1, iterations - 1), 1e-9)
+
+
 def summarize_trace(path: str, top: int = 20, iters: int = 1):
     """Aggregate per-op device durations from the newest trace under
     ``path``; returns [(name, total_ms / iters, count)]."""
