@@ -223,6 +223,24 @@ def build_block_format(
     return _ell_or_compact(b)
 
 
+def format_nnz(m) -> int:
+    """Stored nonzeros of any block format (stacked or not): the structural
+    count every bench normalizes by."""
+    import numpy as np
+
+    if m is None:
+        return 0
+    if isinstance(m, WindowedBsr):
+        return format_nnz(m.inner) + format_nnz(m.residual)
+    if isinstance(m, SumMat):
+        return sum(format_nnz(p) for p in m.parts)
+    if isinstance(m, BsrMat):
+        return int((np.asarray(m.tiles_data) != 0).sum())
+    if isinstance(m, CompactEll):
+        return format_nnz(m.inner)
+    return int((np.asarray(m.val) != 0).sum())
+
+
 def local_slice(m):
     """Strip the per-device leading axis of size 1 inside shard_map."""
     if isinstance(m, WindowedBsr):

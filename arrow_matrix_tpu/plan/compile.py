@@ -82,11 +82,12 @@ class ArrowPlan:
         return self.width * self.n_blocks
 
     def nnz(self) -> int:
+        from arrow_matrix_tpu.ops.dispatch import format_nnz
+
         total = 0
         for lvl in self.levels:
             for m in (lvl.head, lvl.diag, lvl.col, lvl.band_lo, lvl.band_hi):
-                if m is not None:
-                    total += int((np.asarray(m.val) != 0).sum())
+                total += format_nnz(m)
         return total
 
 

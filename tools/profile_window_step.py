@@ -32,8 +32,8 @@ profiling.sync(run(dplan, xj, 10))  # compile + warm
 with profiling.trace("/tmp/window_trace"):
     profiling.sync(run(dplan, xj, 10))
 
-summary = profiling.summarize_trace("/tmp/window_trace")
-total = sum(summary.values())
-print(f"total device time over 10 iters: {total/1e3:.3f} ms")
-for name, us in sorted(summary.items(), key=lambda kv: -kv[1])[:15]:
-    print(f"  {us/10:9.1f} us/iter  {name}")
+summary = profiling.summarize_trace("/tmp/window_trace", top=15, iters=10)
+total = sum(ms for _, ms, _ in summary)
+print(f"top-op device time: {total:.3f} ms/iter")
+for name, ms, count in summary:
+    print(f"  {ms:9.3f} ms/iter  x{count:<5d} {name}")
