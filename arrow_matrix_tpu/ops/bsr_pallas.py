@@ -245,7 +245,16 @@ def bsr_from_csr(
     )
 
 
-def _make_kernel(TB: int, TN: int, precision, RP: int = 1, TM: int = 128):
+def _make_kernel(TB: int, TN: int, precision, RP: int = 1, TM: int = 128,
+                 KR: int | None = None):
+    """``KR``: real feature-column count when the operand rides at the
+    lane-padded 128-column physical width (the zero-copy state). The block
+    fetch/writeback traffic is 512 B/row regardless, but an MXU dot pays per
+    OUTPUT LANE — at k=16 a 128-wide dot does 8x the useful work. With KR
+    the dot and accumulator run at KR lanes (operand block sliced
+    ``[:, :KR]``) and the flush zero-fills the output block's remaining
+    lanes, preserving the "columns beyond k stay zero" state contract."""
+
     def kernel(prog_rows_ref, cols_ref, lrows_ref, a_ref, x_ref, o_ref,
                acc_ref):
         p = pl.program_id(0)
@@ -262,7 +271,11 @@ def _make_kernel(TB: int, TN: int, precision, RP: int = 1, TM: int = 128):
 
         for r in range(TB):
             col = cols_ref[p * TB + r]
-            xb = x_ref[pl.ds(col * TN, TN), :]
+            xb = (
+                x_ref[pl.ds(col * TN, TN), :]
+                if KR is None
+                else x_ref[pl.ds(col * TN, TN), :KR]
+            )
             dot = lax.dot_general(
                 a_ref[r].astype(jnp.float32),
                 xb,
@@ -284,7 +297,11 @@ def _make_kernel(TB: int, TN: int, precision, RP: int = 1, TM: int = 128):
 
         @pl.when(is_last)
         def _():
-            o_ref[:] = acc_ref[:]
+            if KR is None:
+                o_ref[:] = acc_ref[:]
+            else:
+                o_ref[:, :KR] = acc_ref[:]
+                o_ref[:, KR:] = jnp.zeros_like(o_ref[:, KR:])
 
     return kernel
 
@@ -342,7 +359,8 @@ def bsr_spmm(
 
 
 def _make_stream_kernel(TB: int, TN: int, precision, RP: int = 1,
-                        TM: int = 128, accumulate: bool = False):
+                        TM: int = 128, accumulate: bool = False,
+                        KR: int | None = None):
     """Streaming-X variant: X lives in HBM; each program DMAs the (TN, k)
     X slices its TB tiles need into a double-buffered VMEM scratch, with the
     NEXT program's slices prefetched while this program's dots run.
@@ -397,9 +415,14 @@ def _make_stream_kernel(TB: int, TN: int, precision, RP: int = 1,
                 xbuf_ref.at[slot, r],
                 sem_ref.at[slot, r],
             ).wait()
+            xb = (
+                xbuf_ref[slot, r]
+                if KR is None
+                else xbuf_ref[slot, r][:, :KR]
+            )
             dot = lax.dot_general(
                 a_ref[r].astype(jnp.float32),
-                xbuf_ref[slot, r],
+                xb,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
@@ -416,10 +439,19 @@ def _make_stream_kernel(TB: int, TN: int, precision, RP: int = 1,
 
         @pl.when(is_last)
         def _():
-            if accumulate:
-                o_ref[:] = acc_ref[:] + y_ref[:]
+            if KR is None:
+                if accumulate:
+                    o_ref[:] = acc_ref[:] + y_ref[:]
+                else:
+                    o_ref[:] = acc_ref[:]
+            elif accumulate:
+                # Lanes beyond KR pass the aliased prior result through
+                # (the window kernel already zero-filled them).
+                o_ref[:, :KR] = acc_ref[:] + y_ref[:, :KR]
+                o_ref[:, KR:] = y_ref[:, KR:]
             else:
-                o_ref[:] = acc_ref[:]
+                o_ref[:, :KR] = acc_ref[:]
+                o_ref[:, KR:] = jnp.zeros_like(o_ref[:, KR:])
 
     return kernel
 
@@ -442,9 +474,15 @@ def bsr_spmm_stream(
     raw: bool = False,
     out_rows: int | None = None,
     accumulate_into: jnp.ndarray | None = None,
+    k_real: int | None = None,
 ) -> jnp.ndarray:
     """``Y = A @ X`` with X STREAMED from HBM per tile (no VMEM residency
     requirement — any operand height). Same contract as :func:`bsr_spmm`.
+
+    ``k_real``: when the operand is the lane-padded 128-column state with
+    only the first ``k_real`` columns live, run the dots/accumulator at
+    ``k_real`` lanes (see :func:`_make_kernel`); output lanes beyond it are
+    zero-filled (or passed through from ``accumulate_into``).
 
     Per (128,128) tile the kernel moves one 64KB A tile plus one lane-padded
     X slice (64KB for k <= 128) — 2x :func:`bsr_spmm`'s traffic, hidden
@@ -489,6 +527,9 @@ def bsr_spmm_stream(
         assert raw and kp == k, (raw, k, kp)
         assert accumulate_into.shape == (n_out, kp), (
             accumulate_into.shape, n_out, kp)
+    if k_real is not None and not (0 < k_real < kp):
+        k_real = None
+    acc_k = kp if k_real is None else k_real
     y_spec = [
         pl.BlockSpec((RP * TM, kp), lambda p, rows, cols, lrows: (rows[p], 0))
     ] if acc else []
@@ -503,7 +544,7 @@ def bsr_spmm_stream(
             (RP * TM, kp), lambda p, rows, cols, lrows: (rows[p], 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((RP * TM, kp), jnp.float32),
+            pltpu.VMEM((RP * TM, acc_k), jnp.float32),
             pltpu.VMEM((2, TB, TN, kp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, TB)),
         ],
@@ -512,7 +553,8 @@ def bsr_spmm_stream(
     if acc:
         operands = operands + (accumulate_into.astype(jnp.float32),)
     out = pl.pallas_call(
-        _make_stream_kernel(TB, TN, precision, RP, TM, accumulate=acc),
+        _make_stream_kernel(TB, TN, precision, RP, TM, accumulate=acc,
+                            KR=k_real),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, kp), jnp.float32),
         # Operand indices count the scalar-prefetch args: 0-2 scalars,
@@ -828,8 +870,8 @@ def windowed_tile_fraction(
 
 
 def _make_window_kernel(TB: int, TN: int, precision, RP: int = 1,
-                        TM: int = 128):
-    base = _make_kernel(TB, TN, precision, RP, TM)
+                        TM: int = 128, KR: int | None = None):
+    base = _make_kernel(TB, TN, precision, RP, TM, KR)
 
     def kernel(prog_rows_ref, cols_ref, lrows_ref, win_ref, a_ref, x_ref,
                o_ref, acc_ref):
@@ -989,6 +1031,7 @@ def bsr_spmm_window(
     raw: bool = False,
     out_rows: int | None = None,
     tail: str = "zero",
+    k_real: int | None = None,
 ) -> jnp.ndarray:
     """``Y = A @ X`` for a banded matrix with X windows streamed from HBM
     (no VMEM residency bound; each window fetched ~once on banded
@@ -1011,6 +1054,12 @@ def bsr_spmm_window(
     column-tile bound) — and the caller treats them as garbage. NOTE: in
     interpret mode (CPU tests) unwritten rows happen to read as zeros, so
     only hardware exercises the distinction.
+
+    ``k_real``: the lane-padded-state dot-width optimization (see
+    :func:`_make_kernel`) — only the first ``k_real`` of the operand's
+    (physical) 128 columns are live; dots/accumulators run that narrow and
+    output lanes beyond are zero-filled. Supported on the span-1
+    non-unified path (the zero-copy fast path); other variants ignore it.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1116,6 +1165,9 @@ def bsr_spmm_window(
             interpret=interpret,
         )(b.prog_rows, b.tiles_col, lrow, m.prog_win, b.tiles_data, x, x)
     else:
+        if k_real is not None and not (0 < k_real < k):
+            k_real = None
+        acc_k = k if k_real is None else k_real
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(b.n_programs,),
@@ -1130,10 +1182,10 @@ def bsr_spmm_window(
             out_specs=pl.BlockSpec(
                 (RP * TM, k), lambda p, rows, cols, lrows, win: (rows[p], 0)
             ),
-            scratch_shapes=[pltpu.VMEM((RP * TM, k), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((RP * TM, acc_k), jnp.float32)],
         )
         out = pl.pallas_call(
-            _make_window_kernel(TB, TN, precision, RP, TM),
+            _make_window_kernel(TB, TN, precision, RP, TM, KR=k_real),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_out, k), jnp.float32),
             # The window block double-buffers 2*W*TN*k*4 bytes; the default
@@ -1163,7 +1215,7 @@ def bsr_spmm_window(
             out = bsr_spmm_stream(m.residual, x,
                                   interpret=interpret, precision=precision,
                                   raw=True, out_rows=n_out,
-                                  accumulate_into=out)
+                                  accumulate_into=out, k_real=k_real)
         else:
             # The residual shares the inner's row grouping (enforced at
             # pack time), so both outputs have identical group-padded
@@ -1171,7 +1223,7 @@ def bsr_spmm_window(
             # pass.
             r = bsr_spmm_stream(m.residual, x,
                                 interpret=interpret, precision=precision,
-                                raw=True, out_rows=n_out)
+                                raw=True, out_rows=n_out, k_real=k_real)
             assert r.shape == out.shape, (r.shape, out.shape)
             out = out + r
     if raw:

@@ -55,6 +55,15 @@ class LocalArrowPlan:
     width: int = struct.field(pytree_node=False)
     n_rows: int = struct.field(pytree_node=False)
     padded_rows: int = struct.field(pytree_node=False)
+    # Real feature-column count when the state rides lane-padded to 128
+    # columns (the windowed zero-copy fast path): with 0 < state_k < 128 the
+    # kernels dot only the first state_k lanes and zero-fill the rest.
+    # MEASURED NEGATIVE on v5e (round 4): narrowing the dot to 16 lanes is
+    # SLOWER than the 128-lane dot (grid-202k 1.56 vs 1.48 ms, grid-1M 7.42
+    # vs 6.76 — Mosaic gains nothing from narrow RHS widths and the flush
+    # lane-split costs extra), so compile_single_chip leaves this 0; the
+    # mechanism stays as an opt-in knob with tests.
+    state_k: int = struct.field(pytree_node=False, default=0)
     permutations: tuple = ()
 
 
@@ -457,9 +466,12 @@ def local_step(plan: LocalArrowPlan, x: jnp.ndarray) -> jnp.ndarray:
             # full-size plumbing copies at all. The generic path below
             # costs three extra full-size copies per step (operand pad +
             # output slice + result pad — ~5ms of a 15ms step at 1M rows,
-            # profiled in tools/profile_window.py).
+            # profiled in tools/profile_window.py). state_k narrows the
+            # dots to the real feature count (lanes beyond it are zero by
+            # the state contract and stay zero).
+            kr = plan.state_k if 0 < plan.state_k < k else None
             raw = bsr_spmm_window(
-                lvl0.mat, x, raw=True, out_rows=plan.padded_rows
+                lvl0.mat, x, raw=True, out_rows=plan.padded_rows, k_real=kr
             )
             return raw.astype(x.dtype)
     c0 = _apply(lvl0, x[: lvl0.cut])

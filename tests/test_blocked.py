@@ -137,3 +137,36 @@ def _blocked_run_with(A, decomp, width, q, windowed, k=8):
     np.testing.assert_allclose(
         got, compute_spmm(decomp, X.astype(np.float32)), rtol=2e-4, atol=2e-4
     )
+
+
+def test_blocked_composed_routing_matches_golden():
+    """compose_routing=True folds the forward routing into the stripe
+    formats' column indices (global layout); results match the scipy golden
+    and the uncomposed plan."""
+    n, width, q = 16 * 8 - 3, 16, 8
+    A = barabasi_albert(n, 4, seed=0)
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=True, seed=1
+    )
+    k = 8
+    X = random_dense(n, k, seed=7)
+    outs = {}
+    for compose in (False, True):
+        plan = compile_blocked_plan(
+            decomp, width, n_blocks=q, windowed=False,
+            compose_routing=compose,
+        )
+        if compose:
+            assert any(l.composed for l in plan.levels[1:])
+        perm0 = np.asarray(plan.permutations[0])
+        Xp = np.zeros((plan.n_blocks * plan.width, k), dtype=np.float32)
+        Xp[:n] = X
+        x = jnp.asarray(Xp[perm0])
+        step = jax.jit(blocked_step)
+        for _ in range(2):
+            x = step(plan, x)
+        inv = np.argsort(perm0)
+        outs[compose] = np.asarray(x)[inv][:n]
+    ref = A.astype(np.float32) @ (A.astype(np.float32) @ X)
+    np.testing.assert_allclose(outs[True], ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-5, atol=1e-5)

@@ -396,3 +396,33 @@ def test_compile_single_chip_auto_bf16(monkeypatch):
     np.testing.assert_allclose(
         _golden(A, plan, x[:, :16]), y[: x.shape[0], :16], rtol=1e-4, atol=1e-4
     )
+
+
+def test_window_k_real_narrow_dots():
+    """Opt-in k_real: dots run at the real feature count while the operand
+    rides lane-padded 128 columns; lanes beyond k_real come back zero and
+    the live lanes match the full-width result exactly (with and without a
+    residual / aliased accumulate)."""
+    from arrow_matrix_tpu.ops.bsr_pallas import window_padded_rows
+
+    A = banded_random(3000, 400, 0.2, seed=21)  # straddlers -> residual
+    m = windowed_bsr_from_csr(A, window_tiles=4)
+    assert m.residual is not None
+    H = window_padded_rows(m)
+    rng = np.random.default_rng(5)
+    k = 16
+    x = np.zeros((H, 128), np.float32)
+    x[: A.shape[1], :k] = rng.standard_normal(
+        (A.shape[1], k), dtype=np.float32
+    )
+    full = np.asarray(bsr_spmm_window(m, jnp.asarray(x), interpret=True,
+                                      raw=True, out_rows=H))
+    narrow = np.asarray(bsr_spmm_window(m, jnp.asarray(x), interpret=True,
+                                        raw=True, out_rows=H, k_real=k))
+    np.testing.assert_allclose(narrow[:, :k], full[:, :k], rtol=1e-5,
+                               atol=1e-5)
+    assert not narrow[:, k:].any()
+    np.testing.assert_allclose(
+        narrow[: A.shape[0], :k], A @ x[: A.shape[1], :k],
+        rtol=1e-4, atol=1e-4,
+    )
