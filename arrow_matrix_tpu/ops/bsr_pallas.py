@@ -245,6 +245,29 @@ def bsr_from_csr(
     )
 
 
+def _tile_dot(a, xb, precision):
+    """One (TM, TN) x (TN, k) tile product with f32 accumulation. bf16
+    A-tiles against a bf16 operand run the MXU natively (products of bf16
+    values are exact in the f32 accumulator — the only rounding in a bf16
+    STATE pipeline is the one per-step output round-off); any other dtype
+    mix upcasts both sides to f32 (the historical path)."""
+    if a.dtype == jnp.bfloat16 and xb.dtype == jnp.bfloat16:
+        return lax.dot_general(
+            a,
+            xb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+    return lax.dot_general(
+        a.astype(jnp.float32),
+        xb.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
 def _make_kernel(TB: int, TN: int, precision, RP: int = 1, TM: int = 128,
                  KR: int | None = None):
     """``KR``: real feature-column count when the operand rides at the
@@ -276,13 +299,7 @@ def _make_kernel(TB: int, TN: int, precision, RP: int = 1, TM: int = 128,
                 if KR is None
                 else x_ref[pl.ds(col * TN, TN), :KR]
             )
-            dot = lax.dot_general(
-                a_ref[r].astype(jnp.float32),
-                xb,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+            dot = _tile_dot(a_ref[r], xb, precision)
             if RP == 1:
                 acc_ref[:] += dot
             else:
@@ -298,9 +315,9 @@ def _make_kernel(TB: int, TN: int, precision, RP: int = 1, TM: int = 128,
         @pl.when(is_last)
         def _():
             if KR is None:
-                o_ref[:] = acc_ref[:]
+                o_ref[:] = acc_ref[:].astype(o_ref.dtype)
             else:
-                o_ref[:, :KR] = acc_ref[:]
+                o_ref[:, :KR] = acc_ref[:].astype(o_ref.dtype)
                 o_ref[:, KR:] = jnp.zeros_like(o_ref[:, KR:])
 
     return kernel
@@ -420,13 +437,7 @@ def _make_stream_kernel(TB: int, TN: int, precision, RP: int = 1,
                 if KR is None
                 else xbuf_ref[slot, r][:, :KR]
             )
-            dot = lax.dot_general(
-                a_ref[r].astype(jnp.float32),
-                xb,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+            dot = _tile_dot(a_ref[r], xb, precision)
             if RP == 1:
                 acc_ref[:] += dot
             else:
@@ -441,16 +452,20 @@ def _make_stream_kernel(TB: int, TN: int, precision, RP: int = 1,
         def _():
             if KR is None:
                 if accumulate:
-                    o_ref[:] = acc_ref[:] + y_ref[:]
+                    o_ref[:] = (
+                        acc_ref[:] + y_ref[:].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
                 else:
-                    o_ref[:] = acc_ref[:]
+                    o_ref[:] = acc_ref[:].astype(o_ref.dtype)
             elif accumulate:
                 # Lanes beyond KR pass the aliased prior result through
                 # (the window kernel already zero-filled them).
-                o_ref[:, :KR] = acc_ref[:] + y_ref[:, :KR]
+                o_ref[:, :KR] = (
+                    acc_ref[:] + y_ref[:, :KR].astype(jnp.float32)
+                ).astype(o_ref.dtype)
                 o_ref[:, KR:] = y_ref[:, KR:]
             else:
-                o_ref[:, :KR] = acc_ref[:]
+                o_ref[:, :KR] = acc_ref[:].astype(o_ref.dtype)
                 o_ref[:, KR:] = jnp.zeros_like(o_ref[:, KR:])
 
     return kernel
@@ -491,8 +506,12 @@ def bsr_spmm_stream(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    # The DMA destination scratch is float32; match the source layout.
-    x = x.astype(jnp.float32)
+    # bf16 operands pass through (half the X-slice DMA and output writeback
+    # bytes — the bf16-STATE pipeline); anything else runs f32. The DMA
+    # scratch and the output follow the operand dtype.
+    if x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.float32)
+    out_dtype = x.dtype
     k = x.shape[1]
     TB, TM, TN = m.tiles_per_program, m.tile_m, m.tile_n
     # Taller operands are allowed: tile column ids stay < n_col_tiles, so
@@ -545,18 +564,18 @@ def bsr_spmm_stream(
         ),
         scratch_shapes=[
             pltpu.VMEM((RP * TM, acc_k), jnp.float32),
-            pltpu.VMEM((2, TB, TN, kp), jnp.float32),
+            pltpu.VMEM((2, TB, TN, kp), out_dtype),
             pltpu.SemaphoreType.DMA((2, TB)),
         ],
     )
     operands = (m.prog_rows, m.tiles_col, lrow, m.tiles_data, x)
     if acc:
-        operands = operands + (accumulate_into.astype(jnp.float32),)
+        operands = operands + (accumulate_into.astype(out_dtype),)
     out = pl.pallas_call(
         _make_stream_kernel(TB, TN, precision, RP, TM, accumulate=acc,
                             KR=k_real),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, kp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, kp), out_dtype),
         # Operand indices count the scalar-prefetch args: 0-2 scalars,
         # 3 tiles, 4 x, 5 y.
         input_output_aliases={5: 0} if acc else {},
@@ -1063,7 +1082,14 @@ def bsr_spmm_window(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    x = x.astype(jnp.float32)
+    # bf16 operands run the bf16-STATE pipeline on the span-1 non-unified
+    # path (half the window-fetch / writeback / loop-carry bytes; products
+    # stay exact in the f32 accumulator, the output rounds once per step).
+    # The unified and span-2 variants keep f32-only plumbing.
+    if x.dtype != jnp.bfloat16 or m.tiles_resid is not None or (
+        m.window_span == 2
+    ):
+        x = x.astype(jnp.float32)
     k = x.shape[1]
     b = m.inner
     TB, TM, TN, W = b.tiles_per_program, b.tile_m, b.tile_n, m.window_tiles
@@ -1187,7 +1213,7 @@ def bsr_spmm_window(
         out = pl.pallas_call(
             _make_window_kernel(TB, TN, precision, RP, TM, KR=k_real),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_out, k), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_out, k), x.dtype),
             # The window block double-buffers 2*W*TN*k*4 bytes; the default
             # Mosaic VMEM limit rejects W=128 at k=128 (v5e: 128MB physical).
             compiler_params=pltpu.CompilerParams(

@@ -426,3 +426,29 @@ def test_window_k_real_narrow_dots():
         narrow[: A.shape[0], :k], A @ x[: A.shape[1], :k],
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_window_bf16_state_pipeline():
+    """bf16 operand on the span-1 path: out dtype bf16, window/stream dots
+    run natively (products exact in the f32 accumulator), result matches
+    the f32 pipeline to one bf16 output rounding."""
+    from arrow_matrix_tpu.ops.bsr_pallas import window_padded_rows
+
+    A = banded_random(3000, 400, 0.2, seed=31)
+    m = windowed_bsr_from_csr(A, dtype=jnp.bfloat16, window_tiles=4)
+    assert m.residual is not None
+    H = window_padded_rows(m)
+    rng = np.random.default_rng(6)
+    x32 = np.zeros((H, 128), np.float32)
+    x32[: A.shape[1]] = rng.standard_normal(
+        (A.shape[1], 128), dtype=np.float32
+    )
+    xb = jnp.asarray(x32).astype(jnp.bfloat16)
+    y = bsr_spmm_window(m, xb, interpret=True, raw=True, out_rows=H)
+    assert y.dtype == jnp.bfloat16
+    # Golden on the bf16-rounded input: products exact, one output round.
+    ref = (A.astype(np.float32)
+           @ np.asarray(xb, dtype=np.float32)[: A.shape[1]])
+    got = np.asarray(y[: A.shape[0]], dtype=np.float32)
+    denom = max(np.abs(ref).max(), 1e-30)
+    assert np.abs(got - ref).max() / denom < 1e-2
