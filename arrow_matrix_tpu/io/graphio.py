@@ -297,6 +297,45 @@ def load_decomposition(
     return decomposition
 
 
+def convert_decomposition(
+    filename: str,
+    width: Optional[int] = None,
+    block_diagonal: bool = True,
+) -> List[tuple]:
+    """Convert a legacy monolithic-``.npz`` decomposition to the npy-triplet
+    format in place, returning the loaded levels with ``None`` permutations
+    (reference: arrow/common/graphio.py:317-358).
+
+    Two historical npz layouts are probed per level: the current scheme
+    (``{base}_B_{width}_{i}[_bd].npz``, via :func:`_level_path`) and the
+    older one with the block-diagonal marker BEFORE the level index
+    (``{base}_B_{width}[_bd]_{i}.npz``).
+    """
+    decomposition: List[tuple] = []
+    i = 0
+    while True:
+        path = _level_path(
+            filename, width, i, block_diagonal, DecompositionFileType.npz
+        )
+        if path is None:
+            # Older scheme: bd marker before the index.
+            bd = "_bd" if block_diagonal else ""
+            legacy = f"{filename}_B_{width}{bd}_{i}.npz"
+            path = legacy if width is not None and os.path.exists(legacy) else None
+        if path is None:
+            break
+        B = sparse.load_npz(path)
+        for ftype, arr in (
+            (DecompositionFileType.indptr_npy, B.indptr),
+            (DecompositionFileType.indices_npy, B.indices),
+            (DecompositionFileType.data_npy, B.data),
+        ):
+            np.save(format_path(filename, width, i, block_diagonal, ftype), arr)
+        decomposition.append((B, None))
+        i += 1
+    return decomposition
+
+
 def load_decomposition_new(
     filename: str,
     width: Optional[int] = None,

@@ -250,14 +250,18 @@ def _tile_dot(a, xb, precision):
     A-tiles against a bf16 operand run the MXU natively (products of bf16
     values are exact in the f32 accumulator — the only rounding in a bf16
     STATE pipeline is the one per-step output round-off); any other dtype
-    mix upcasts both sides to f32 (the historical path)."""
+    mix upcasts both sides to f32 (the historical path).
+
+    bf16 inputs must run at DEFAULT precision: Mosaic rejects a bf16 lhs
+    under an fp32 contract precision ("Bad lhs type", measured on v5e),
+    and the single native MXU pass is already exact for bf16 operands."""
     if a.dtype == jnp.bfloat16 and xb.dtype == jnp.bfloat16:
         return lax.dot_general(
             a,
             xb,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=precision,
+            precision=lax.Precision.DEFAULT,
         )
     return lax.dot_general(
         a.astype(jnp.float32),

@@ -102,9 +102,15 @@ def make_timer(iterations, sync):
 
 
 def run_config(A, width, k, iterations, refine, time_step, blocks=None,
-               with_blocked=False):
+               with_blocked=False, state_dtype="float32"):
     """Decompose A, compile the best single-chip executor, time it, and
-    compare against host scipy.  Returns a result dict."""
+    compare against host scipy.  Returns a result dict.
+
+    ``state_dtype="bfloat16"`` runs the iterated state in bf16 (one output
+    rounding per step; every dense byte stream of the step halves — measured
+    2x on the windowed family, tools/probe_bf16_state.py)."""
+    import jax.numpy as jnp
+
     from arrow_matrix_tpu.decomposition import arrow_decomposition
     from arrow_matrix_tpu.parallel.local import compile_single_chip
     from arrow_matrix_tpu.parallel.region import RegionPlan
@@ -132,6 +138,8 @@ def run_config(A, width, k, iterations, refine, time_step, blocks=None,
         cols = state_cols(plan, k)
     x0 = np.zeros((plan.padded_rows, cols), dtype=np.float32)
     x0[:, :k] = rng.random((plan.padded_rows, k), dtype=np.float32)
+    if state_dtype == "bfloat16":
+        x0 = jnp.asarray(x0).astype(jnp.bfloat16)
     dt = time_step(plan, step_fn, x0)
 
     # Host scipy baseline (reference CPU kernel) on the same iteration.
@@ -152,6 +160,8 @@ def run_config(A, width, k, iterations, refine, time_step, blocks=None,
         "executor": executor,
         "vs_scipy": scipy_time / dt,
     }
+    if state_dtype != "float32":
+        res["state_dtype"] = state_dtype
     if with_blocked:
         from arrow_matrix_tpu.parallel.blocked import (
             blocked_step,
@@ -183,15 +193,23 @@ def comm_volume_report(decomp, width, n, k, n_devices):
     }
 
 
-# (name, graph family, vertices, k) — the driver-visible basket.
+# (name, graph family, vertices, k, state dtype) — the driver-visible
+# basket.  The ``-bf16`` rows run the same iterated step with a bfloat16
+# state (one output rounding per step): every dense byte stream halves,
+# measured ~2x on the windowed family and recorded next to the f32 numbers
+# of the same graphs.
 BASKET = [
-    ("ba-200k", "ba", 200_000, 16),
-    ("grid-202k", "grid", 202_500, 16),
-    ("grid-1m", "grid", 1_000_000, 16),
-    ("ba-1m", "ba", 1_000_000, 16),
-    ("er-16k", "er", 16_384, 16),
-    ("ba-200k-k128", "ba", 200_000, 128),
-    ("grid-202k-k128", "grid", 202_500, 128),
+    ("ba-200k", "ba", 200_000, 16, "float32"),
+    ("grid-202k", "grid", 202_500, 16, "float32"),
+    ("grid-1m", "grid", 1_000_000, 16, "float32"),
+    ("ba-1m", "ba", 1_000_000, 16, "float32"),
+    ("er-16k", "er", 16_384, 16, "float32"),
+    ("ba-200k-k128", "ba", 200_000, 128, "float32"),
+    ("grid-202k-k128", "grid", 202_500, 128, "float32"),
+    ("grid-202k-bf16", "grid", 202_500, 16, "bfloat16"),
+    ("grid-1m-bf16", "grid", 1_000_000, 16, "bfloat16"),
+    # No ba-*-bf16 rows: the gather-ELL path measured byte-insensitive
+    # (index-bound plateau; tools/probe_bf16_ell.py — 240.0 vs 239.6 M).
 ]
 
 
@@ -253,7 +271,7 @@ def main():
     configs = {}
     headline = None
     comm = {}
-    for name, graph, vertices, k in BASKET:
+    for name, graph, vertices, k, state_dtype in BASKET:
         if name in skip:
             continue
         try:
@@ -263,6 +281,7 @@ def main():
                 A, width, k, args.iterations, args.refine, time_step,
                 with_blocked=(name == "ba-200k"
                               and args.mode in ("blocked", "both")),
+                state_dtype=state_dtype,
             )
             configs[name] = res
             if name == "ba-200k":

@@ -50,7 +50,9 @@ def test_bench_basket_mode(monkeypatch):
     spec.loader.exec_module(bench)
     monkeypatch.setattr(
         bench, "BASKET",
-        [("ba-200k", "ba", 2000, 16), ("grid-202k", "grid", 2500, 16)],
+        [("ba-200k", "ba", 2000, 16, "float32"),
+         ("grid-202k", "grid", 2500, 16, "float32"),
+         ("ba-200k-bf16", "ba", 2000, 16, "bfloat16")],
     )
     monkeypatch.setattr(
         sys, "argv",
@@ -65,9 +67,10 @@ def test_bench_basket_mode(monkeypatch):
     out = json.loads(lines[-1])
     assert out["metric"] == "arrow_spmm_nnz_per_s_per_chip"
     assert out["value"] > 0 and out["vs_baseline"] > 0
-    assert set(out["configs"]) == {"ba-200k", "grid-202k"}
+    assert set(out["configs"]) == {"ba-200k", "grid-202k", "ba-200k-bf16"}
     for cfg in out["configs"].values():
         assert cfg["nnz_per_s"] > 0 and "executor" in cfg
+    assert out["configs"]["ba-200k-bf16"]["state_dtype"] == "bfloat16"
     assert out["arrow_spmm_distributed_nnz_per_s"] > 0
     assert set(out["comm_volume"]) == {"ba-200k", "grid-202k"}
     for cv in out["comm_volume"].values():

@@ -100,3 +100,38 @@ def test_bench_spmm_bf16_state(tmp_path):
     )
     assert stats["iterations"] == 2
     assert stats["nnz_per_s"] > 0
+
+
+def test_local_step_bf16_state_carry():
+    """Merged single-chip plan under an iterated bf16 STATE: the fori carry
+    keeps the bf16 dtype through every format branch (local_step casts the
+    result back to the state dtype) and tracks the f32 pipeline to the
+    per-step output-rounding tolerance."""
+    from arrow_matrix_tpu.parallel.local import compile_single_chip, state_cols
+
+    n, width, k, iters = 600, 80, 8, 3
+    A = barabasi_albert(n, 4, seed=7)
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=True, seed=2
+    )
+    plan, step = compile_single_chip(decomp, width, k_hint=k)
+    cols = state_cols(plan, k)
+    rng = np.random.default_rng(0)
+    x0 = np.zeros((plan.padded_rows, cols), np.float32)
+    x0[:, :k] = rng.random((plan.padded_rows, k), dtype=np.float32)
+
+    P0 = np.asarray(plan.permutations[0])
+    src = np.zeros(n, np.int64)
+    src[P0[P0 < n]] = np.nonzero(P0 < n)[0]
+
+    def run(x, it):
+        return jax.lax.fori_loop(0, it, lambda i, s: step(plan, s), x)
+
+    xb = jnp.asarray(x0).astype(jnp.bfloat16)
+    got = np.asarray(jax.jit(run, static_argnums=1)(xb, iters), np.float32)
+    assert got.dtype == np.float32  # materialized view; device dtype below
+    assert jax.jit(run, static_argnums=1)(xb, iters).dtype == jnp.bfloat16
+
+    ref = _golden_iterate(A, np.asarray(xb, np.float32)[src][:n, :k], iters)
+    scale = max(np.abs(ref).max(), 1e-30)
+    np.testing.assert_allclose(got[src][:n, :k], ref, atol=5e-2 * scale)

@@ -128,6 +128,35 @@ def test_save_load_roundtrip(tmp_path, new_format):
     assert abs(residual).max() if residual.nnz else 0.0 == 0.0
 
 
+@pytest.mark.parametrize("legacy_naming", [False, True])
+def test_convert_decomposition(tmp_path, legacy_naming):
+    """Legacy npz -> npy-triplet converter (reference: graphio.py:317-358),
+    covering both historical npz naming schemes."""
+    A = barabasi_albert(96, 4, seed=3)
+    width = 25
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=True, seed=1
+    )
+    base = str(tmp_path / "c")
+    if legacy_naming:
+        # Older scheme: bd marker BEFORE the level index.
+        for i, (B, _) in enumerate(decomp):
+            sparse.save_npz(f"{base}_B_{width}_bd_{i}.npz", sparse.csr_matrix(B))
+    else:
+        graphio.save_decomposition(A, decomp, base, block_diagonal=True)
+    converted = graphio.convert_decomposition(base, width, block_diagonal=True)
+    assert len(converted) == len(decomp)
+    assert all(p is None for _, p in converted)
+    # The written triplets load back (permutations saved separately when the
+    # non-legacy save produced them).
+    for i, (B, _) in enumerate(decomp):
+        path = graphio.format_path(
+            base, width, i, True, graphio.DecompositionFileType.indices_npy
+        )
+        got = np.load(path)
+        assert np.array_equal(got, sparse.csr_matrix(B).indices)
+
+
 def test_mmap_load(tmp_path):
     A = barabasi_albert(64, 3, seed=4)
     decomp = arrow_decomposition(A, 17, max_number_of_levels=100, seed=2)

@@ -3,11 +3,18 @@ distributed plan plus measured single-chip constants — the quantitative
 scaling story while real multi-chip hardware is unavailable (NOTES backlog
 items 1/6; BASELINE.json targets >= 80% efficiency).
 
-Model (all constants measured on v5e, see NOTES.md):
+Everything here is a MODEL-BASED PROJECTION, not a hardware measurement —
+single-chip constants are measured on v5e, multi-chip composition is modeled
+(no multi-chip slice exists in this environment). Constants are imported
+from ops/bsr_pallas.py so re-calibrations propagate here automatically
+(round-3 fit: resident 111 ns/tile + 312 ns/program, stream 320, window 200,
+gather plateau 2.2 ns/slot with 6.0 on big sources — see those constants'
+docstrings):
 
-* gather-ELL work: occupied slots x ~2.2 ns (plateau gather+FMA rate,
-  sources here are width-bounded by construction);
-* BSR work: stored tiles x ~85 ns (HBM-bound tile stream);
+* gather-ELL work: occupied slots x the measured plateau rate;
+* BSR work: stored tiles x the per-tile stream rate (+ per-program cost);
+* windowed work: in-window tiles at the windowed rate, residual/straddler
+  tiles at the streaming rate;
 * compute per device = sum over levels of its role costs; the step's
   compute span = max over devices (the folding imbalance);
 * wire per device = plan/comm.py exact bytes / ICI bandwidth (v5e ~45 GB/s
@@ -23,13 +30,20 @@ import numpy as np
 
 from arrow_matrix_tpu.decomposition import arrow_decomposition
 from arrow_matrix_tpu.io.generate import barabasi_albert, grid_graph
-from arrow_matrix_tpu.ops.bsr_pallas import BsrMat
+from arrow_matrix_tpu.ops.bsr_pallas import (
+    BSR_PROGRAM_NS,
+    BSR_STREAM_NS_PER_TILE,
+    BSR_TILE_STREAM_NS,
+    BSR_WINDOW_NS_PER_TILE,
+    ELL_NS_PER_SLOT,
+    ELL_NS_PER_SLOT_BIG,
+    BsrMat,
+)
+from arrow_matrix_tpu.ops.ell import FOLD_SOURCE_ROWS
 from arrow_matrix_tpu.plan import compile_plan
 from arrow_matrix_tpu.plan.comm import arrow_comm_volume
 from arrow_matrix_tpu.plan.memory import arrow_hbm_footprint
 
-ELL_NS_PER_SLOT = 2.2
-BSR_NS_PER_TILE = 85.0
 ICI_BYTES_PER_S = 45e9
 
 GRAPH = sys.argv[1] if len(sys.argv) > 1 else "ba"
@@ -54,20 +68,34 @@ def role_ns_per_device(m):
     if m is None:
         return 0.0
     if isinstance(m, WindowedBsr):
-        # In-window tiles at the BSR rate; residual tiles stream at ~2x.
-        ns = role_ns_per_device(m.inner)
+        # In-window tiles at the calibrated windowed rate; residual
+        # (straddler) tiles at the streaming rate.
+        ns = _bsr_tiles(m.inner) * (BSR_WINDOW_NS_PER_TILE or 200.0)
         if m.residual is not None:
-            ns = ns + 2.0 * role_ns_per_device(m.residual)
+            ns = ns + _bsr_tiles(m.residual) * (
+                BSR_STREAM_NS_PER_TILE or 320.0
+            )
         return ns
     if isinstance(m, BsrMat):
-        # Real tiles per device: stored tiles with any nonzero payload.
-        data = np.asarray(m.tiles_data)
-        real = (np.abs(data).sum(axis=(-2, -1)) > 0).sum(axis=-1)
-        return real * BSR_NS_PER_TILE
+        progs = _bsr_tiles(m) / max(1, m.tiles_per_program)
+        return _bsr_tiles(m) * BSR_TILE_STREAM_NS + progs * BSR_PROGRAM_NS
     inner = getattr(m, "inner", m)  # CompactEll wraps an EllMat
     val = np.asarray(inner.val)
     slots = (val != 0).sum(axis=(-2, -1))
-    return slots * ELL_NS_PER_SLOT
+    # Big gather sources fall off the plateau (ops/ell.py fold bound);
+    # role sources are width-bounded per device, so n_cols is the height.
+    rate = (
+        ELL_NS_PER_SLOT
+        if inner.n_cols <= FOLD_SOURCE_ROWS
+        else ELL_NS_PER_SLOT_BIG
+    )
+    return slots * rate
+
+
+def _bsr_tiles(m):
+    """Per-device count of stored tiles with any nonzero payload."""
+    data = np.asarray(m.tiles_data)
+    return (np.abs(data).sum(axis=(-2, -1)) > 0).sum(axis=-1)
 
 
 for q in QS:
