@@ -40,13 +40,16 @@ def trace(path: str):
         yield
 
 
-def fori_time(step_fn, plan, x, iterations: int) -> float:
+def fori_time(step_fn, plan, x, iterations: int, reps: int = 3) -> float:
     """Differenced 1- vs N-iteration ``fori_loop`` timing of one iterated
     step, returning seconds/iteration. Through the axon relay every dispatch
     carries ~15-40 ms fixed cost; differencing two loop lengths isolates the
-    device step. ``plan`` rides as a jit ARGUMENT (closed-over device arrays
-    re-materialize as HLO constants and can trip the relay's compile body
-    limit)."""
+    device step, and each loop length is timed ``reps`` times with the
+    MEDIANS differenced (the fixed cost varies +-10 ms per dispatch, which
+    single-shot differencing leaks into fast steps as +-8% noise). ``plan``
+    rides as a jit ARGUMENT (closed-over device arrays re-materialize as HLO
+    constants and can trip the relay's compile body limit)."""
+    import statistics
     import time
 
     import jax.numpy as jnp  # noqa: F401 — keep jax imported lazily above
@@ -57,8 +60,17 @@ def fori_time(step_fn, plan, x, iterations: int) -> float:
     )
     sync(run(plan, x, 1))
     sync(run(plan, x, iterations))
-    tic = time.perf_counter(); sync(run(plan, x, 1)); t1 = time.perf_counter() - tic
-    tic = time.perf_counter(); sync(run(plan, x, iterations)); tn = time.perf_counter() - tic
+
+    def timed(n):
+        ts = []
+        for _ in range(reps):
+            tic = time.perf_counter()
+            sync(run(plan, x, n))
+            ts.append(time.perf_counter() - tic)
+        return statistics.median(ts)
+
+    t1 = timed(1)
+    tn = timed(iterations)
     return max((tn - t1) / max(1, iterations - 1), 1e-9)
 
 

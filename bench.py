@@ -78,9 +78,13 @@ def make_timer(iterations, sync):
     import jax
     import jax.numpy as jnp
 
-    def time_step(plan, step_fn, x0):
+    def time_step(plan, step_fn, x0, reps: int = 3):
         """Differenced 1- vs N-iteration fori_loop timing (fixed relay cost
-        per dispatch is ~15-40 ms)."""
+        per dispatch is ~15-40 ms). The 1- and N-iteration runs each repeat
+        ``reps`` times and difference their MEDIANS: the fixed relay cost
+        varies +-10 ms between dispatches, which at fast steps (er-16k,
+        2.6 ms) shows up as +-8% config noise under single-shot
+        differencing — repeats cost only extra dispatches (no compiles)."""
         plan = jax.device_put(plan)
 
         def run(plan, x, iters):
@@ -90,12 +94,17 @@ def make_timer(iterations, sync):
         xj = jnp.asarray(x0)
         sync(run(plan, xj, 1))  # compile 1-iter variant
         sync(run(plan, xj, iterations))  # compile N-iter variant
-        tic = time.perf_counter()
-        sync(run(plan, xj, 1))
-        t1 = time.perf_counter() - tic
-        tic = time.perf_counter()
-        sync(run(plan, xj, iterations))
-        tn = time.perf_counter() - tic
+
+        def timed(iters):
+            ts = []
+            for _ in range(reps):
+                tic = time.perf_counter()
+                sync(run(plan, xj, iters))
+                ts.append(time.perf_counter() - tic)
+            return float(np.median(ts))
+
+        t1 = timed(1)
+        tn = timed(iterations)
         return max((tn - t1) / (iterations - 1), 1e-9)
 
     return time_step
