@@ -47,6 +47,7 @@ def bench_spmm(
     timing: str = "per_step",
     row_split: int = 1,
     fresh_features: bool = True,
+    routing: str = "auto",
 ) -> dict:
     """Run the iterated arrow SpMM benchmark; returns summary statistics.
 
@@ -138,6 +139,7 @@ def bench_spmm(
                 block_diagonal=block_diagonal,
                 k_hint=features,
                 row_split=row_split,
+                routing=routing,
             )
         elif mode == "blocked":
             plan = compile_blocked_plan(

@@ -47,6 +47,14 @@ def main(argv=None):
                         "TPU mapping of the reference's --ranksperside/"
                         "--slim knobs (scripts/spmm_arrow_main.py:10-29); "
                         "1 = slim")
+    p.add_argument("--routing", choices=["auto", "all_to_all", "rounds"],
+                   default="auto",
+                   help="inter-level exchange: padded all_to_all, partial-"
+                        "permutation ppermute rounds (bytes only on real "
+                        "device pairs), or auto (rounds when they cut the "
+                        "padded send volume >= 10%%) — the TPU answer to "
+                        "the reference's ragged Ialltoallv "
+                        "(arrow/arrow_dec_mpi.py:462-505)")
     p.add_argument("--fresh_features", type=str2bool, default=True,
                    help="re-randomize features before every timed iteration "
                         "(the reference's benchmark contract, "
@@ -83,6 +91,7 @@ def main(argv=None):
         timing=args.timing,
         row_split=args.row_split,
         fresh_features=args.fresh_features,
+        routing=args.routing,
     )
     print(json.dumps(stats))
 

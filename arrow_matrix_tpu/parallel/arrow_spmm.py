@@ -72,14 +72,9 @@ def _shard_spec(pytree):
 
 
 def _route_local(rt: ShardedRouteTables) -> ShardedRouteTables:
-    return rt.replace(
-        fwd_send=rt.fwd_send[0],
-        fwd_gather=rt.fwd_gather[0],
-        fwd0_gather=rt.fwd0_gather[0],
-        bwd_send=rt.bwd_send[0],
-        bwd_gather=rt.bwd_gather[0],
-        bwd0_gather=rt.bwd0_gather[0],
-    )
+    """Strip the leading device axis from every table (inside shard_map each
+    shard arrives as (1, ...)) — including the per-round send tables."""
+    return jax.tree.map(lambda a: a[0], rt)
 
 
 def _zero_pad_rows(x: jnp.ndarray) -> jnp.ndarray:
@@ -147,11 +142,24 @@ def _level_spmm(
     return c0_shard, c_loc
 
 
+def _perm_pairs(perm, perm_of):
+    """Translate a round's static (src, dst) pairs into the collective's
+    device numbering. ``lax.ppermute`` under a TUPLE axis numbers devices in
+    MESH row-major order, NOT the tuple's flattened order that
+    ``lax.all_to_all`` uses (measured on the ('half', 'block') fat mesh:
+    a +1 shift in half-major ids permuted block-major) — the fat runner
+    passes ``perm_of`` to remap the tables' half-major ids."""
+    if perm_of is None:
+        return perm
+    return tuple((perm_of(s), perm_of(d)) for s, d in perm)
+
+
 def _route_forward(
     rt: ShardedRouteTables,
     x_loc: jnp.ndarray,
     x0_full: jnp.ndarray,
     axis=AXIS,
+    perm_of=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Re-shard features from level-0 order into a level's order
     (reference: arrow_dec_mpi.py:507-610 ``_propagate_features_forwards``).
@@ -165,10 +173,23 @@ def _route_forward(
     """
     k = x_loc.shape[1]
     xp = _zero_pad_rows(x_loc)  # (w+1, k)
-    send = jnp.take(xp, rt.fwd_send, axis=0)  # (q, Mf, k)
-    recv = lax.all_to_all(send, axis, 0, 0)  # recv[s] = from device s
+    if rt.rounds_mode:
+        # Round-decomposed exchange: one ppermute per partial-permutation
+        # round, sized to that round's largest edge — bytes move only on
+        # real (src, dst) pairs (plan/routing.py to_round_exchange).
+        recvs = [
+            lax.ppermute(
+                jnp.take(xp, rd.send, axis=0), axis,
+                _perm_pairs(rd.perm, perm_of),
+            )
+            for rd in rt.fwd_rounds
+        ]
+    else:
+        send = jnp.take(xp, rt.fwd_send, axis=0)  # (q, Mf, k)
+        recv = lax.all_to_all(send, axis, 0, 0)  # recv[s] = from device s
+        recvs = [recv.reshape(-1, k)]
     buf = jnp.concatenate(
-        [x_loc, x0_full, recv.reshape(-1, k), jnp.zeros((1, k), x_loc.dtype)],
+        [x_loc, x0_full, *recvs, jnp.zeros((1, k), x_loc.dtype)],
         axis=0,
     )  # [local ; replica ; received ; zero]
     (buf,) = lax.optimization_barrier((buf,))
@@ -183,6 +204,7 @@ def _route_backward(
     c_loc: jnp.ndarray,
     c0_shard: jnp.ndarray,
     axis=AXIS,
+    perm_of=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Aggregate a level's partial results back into level-0 order
     (reference: arrow_dec_mpi.py:404-505 ``_aggregate_features_backwards``).
@@ -196,10 +218,20 @@ def _route_backward(
     payload = jnp.concatenate(
         [c_loc, c0_shard, jnp.zeros((1, k), c_loc.dtype)], axis=0
     )
-    send = jnp.take(payload, rt.bwd_send, axis=0)  # (q, Mb, k)
-    recv = lax.all_to_all(send, axis, 0, 0)
+    if rt.rounds_mode:
+        recvs = [
+            lax.ppermute(
+                jnp.take(payload, rd.send, axis=0), axis,
+                _perm_pairs(rd.perm, perm_of),
+            )
+            for rd in rt.bwd_rounds
+        ]
+    else:
+        send = jnp.take(payload, rt.bwd_send, axis=0)  # (q, Mb, k)
+        recv = lax.all_to_all(send, axis, 0, 0)
+        recvs = [recv.reshape(-1, k)]
     buf = jnp.concatenate(
-        [payload[:-1], recv.reshape(-1, k), jnp.zeros((1, k), c_loc.dtype)],
+        [payload[:-1], *recvs, jnp.zeros((1, k), c_loc.dtype)],
         axis=0,
     )
     (buf,) = lax.optimization_barrier((buf,))

@@ -164,6 +164,7 @@ class FatArrowSpmm:
     def _make_step(self):
         width = self.plan.width
         w_loc, w_q = self.w_loc, self.w_q
+        q, row_split = self.q, self.r
 
         @functools.partial(
             jax.shard_map,
@@ -181,8 +182,12 @@ class FatArrowSpmm:
             )
             for lvl in plan.levels[1:]:
                 rt = _route_local(lvl.route)
+                # ppermute under the tuple axis numbers devices MESH
+                # row-major ((j, h) -> j*r + h), not half-major; remap the
+                # tables' static pair ids (arrow_spmm._perm_pairs).
+                perm_of = lambda s: (s % q) * row_split + s // q  # noqa: E731
                 x_i_loc, x_i0_shard = _route_forward(
-                    rt, x_loc, x0_full, axis=ALL
+                    rt, x_loc, x0_full, axis=ALL, perm_of=perm_of
                 )
                 x_i0_full = lax.all_gather(x_i0_shard, ALL, tiled=True)
                 x_i_blk = lax.all_gather(x_i_loc, HALF, tiled=True)
@@ -194,6 +199,7 @@ class FatArrowSpmm:
                     ci_loc.astype(xs.dtype),
                     ci0_shard.astype(xs.dtype),
                     axis=ALL,
+                    perm_of=perm_of,
                 )
                 c0_shard = c0_shard + add0
                 c_loc = c_loc + add_loc

@@ -78,6 +78,7 @@ class ArrowSession:
         features: int = 16,
         state_dtype=None,
         row_split: int = 1,
+        routing: str = "auto",
     ):
         """:param state_dtype: multi-device iteration-state dtype;
         ``jnp.bfloat16`` halves per-device state/replica HBM and routing
@@ -88,7 +89,10 @@ class ArrowSession:
         over this many extra mesh devices (``n_devices`` counts BLOCKS;
         the mesh uses ``n_devices * row_split`` chips). The reference's
         2q-1-rank fat layout is the ``row_split=2`` case
-        (reference: arrow/arrow_mpi.py:26-93)."""
+        (reference: arrow/arrow_mpi.py:26-93).
+
+        :param routing: inter-level exchange mode — ``"all_to_all"``,
+        ``"rounds"``, or ``"auto"`` (see plan/compile.py:compile_plan)."""
         self.width = width
         self.n_devices = n_devices or (len(jax.devices()) // row_split)
         self.block_diagonal = block_diagonal
@@ -104,6 +108,7 @@ class ArrowSession:
                 block_diagonal=block_diagonal,
                 k_hint=features,
                 row_split=row_split,
+                routing=routing,
             )
             self._runner = FatArrowSpmm(
                 self.plan,
@@ -118,6 +123,7 @@ class ArrowSession:
                 self.n_devices,
                 block_diagonal=block_diagonal,
                 k_hint=features,
+                routing=routing,
             )
             self._runner = ArrowSpmm(
                 self.plan,

@@ -56,8 +56,19 @@ def arrow_comm_volume(plan: ArrowPlan, k: int) -> Dict[str, float]:
         # all_gather(X_0 shards) + psum_scatter(head partials).
         head += 2 * (q - 1) / q * w0 * k * BYTES
         if lvl.route is not None:
-            Mf, Mb = lvl.route.max_fwd, lvl.route.max_bwd
-            routing_padded += (q - 1) * (Mf + Mb) * k * BYTES
+            if lvl.route.rounds_mode:
+                # Round-decomposed exchange: a device sends only in rounds
+                # where it owns an edge, padded to each round's max edge.
+                from arrow_matrix_tpu.plan.routing import (
+                    round_exchange_padded_rows,
+                )
+
+                routing_padded += (
+                    round_exchange_padded_rows(lvl.route) * k * BYTES
+                )
+            else:
+                Mf, Mb = lvl.route.max_fwd, lvl.route.max_bwd
+                routing_padded += (q - 1) * (Mf + Mb) * k * BYTES
             fwd, bwd = sharded_routed_rows_per_pair(lvl.route)
             for occ in (fwd, bwd):
                 off = occ.copy()

@@ -399,6 +399,7 @@ def compile_plan(
     k_hint: int = 16,
     force_format: str | None = None,
     row_split: int = 1,
+    routing: str = "auto",
 ) -> ArrowPlan:
     """Compile a decomposition into an :class:`ArrowPlan` for a mesh with
     ``n_devices`` devices on the block axis.
@@ -414,6 +415,13 @@ def compile_plan(
         HALF-major (leaf ``s = h*q + j`` holds rows ``[h*w_loc, (h+1)*w_loc)``
         of block j's panels) to match :class:`parallel.fat.FatArrowSpmm`'s
         ``P(("half", "block"))`` shardings. Requires ``width % row_split == 0``.
+    :param routing: inter-level exchange mode — ``"all_to_all"`` (one padded
+        collective, every pair pays the global per-pair max),
+        ``"rounds"`` (partial-permutation ppermute rounds, bytes only on
+        real pairs — plan/routing.py:to_round_exchange), or ``"auto"``
+        (rounds per level when they cut the padded send volume by >= 10%;
+        the usual case, since the level permutations are near-banded and
+        most pairs are empty).
     :raises ValueError: if a level's nonzeros fall outside the arrow block
         structure (head panels + diagonal ± band) or need more blocks than
         devices.
@@ -465,6 +473,25 @@ def compile_plan(
             for b in blocks
         ]
 
+    def pick_route(rt):
+        """Apply the requested inter-level exchange mode to one level's
+        tables (see the ``routing`` parameter)."""
+        if rt is None or routing == "all_to_all":
+            return rt
+        if routing not in ("rounds", "auto"):
+            raise ValueError(f"unknown routing mode {routing!r}")
+        from arrow_matrix_tpu.plan.routing import (
+            round_exchange_padded_rows,
+            to_round_exchange,
+        )
+
+        rr = to_round_exchange(rt, pad_multiple=routing_pad_multiple)
+        if routing == "rounds":
+            return rr
+        D = int(rt.fwd_send.shape[0])
+        a2a = (D - 1) * (rt.max_fwd + rt.max_bwd)
+        return rr if round_exchange_padded_rows(rr) <= 0.9 * a2a else rt
+
     levels = []
     for raw in raw_levels:
         levels.append(
@@ -482,7 +509,7 @@ def compile_plan(
                     if raw.band_hi is not None
                     else None
                 ),
-                route=raw.route_sharded,
+                route=pick_route(raw.route_sharded),
                 n_active_blocks=raw.n_active_blocks,
             )
         )

@@ -150,6 +150,57 @@ def routed_rows_per_pair(rt: RouteTables) -> np.ndarray:
 
 
 @struct.dataclass
+class ExchangeRound:
+    """One round of a round-decomposed exchange: a PARTIAL PERMUTATION over
+    the device axis (each device sends to at most one destination and
+    receives from at most one source), executed as a single
+    ``lax.ppermute`` with static pairs and sized to the round's largest
+    edge. Bytes move only on listed edges — pairs with no routed rows cost
+    nothing, unlike the padded all_to_all where every (s, d) pair pays the
+    global per-pair maximum (measured 2.4-6x padded/occupied skew on the
+    bench graphs because most pairs are EMPTY: the level permutations are
+    near-banded)."""
+
+    #: int32 (D, Mr): per sending device, gather index into its send payload
+    #: for slot m of this round's message (payload pad index = padding).
+    send: jnp.ndarray
+    #: static ((src, dst), ...) pairs of this round's partial permutation.
+    perm: tuple = struct.field(pytree_node=False)
+    #: static padded slot count Mr.
+    m: int = struct.field(pytree_node=False)
+
+
+def _color_rounds(counts: np.ndarray) -> list:
+    """Greedy edge coloring of the nonzero (src, dst) pair multigraph into
+    partial-permutation rounds, largest edges first (so each round's pad
+    ``Mr`` is set by edges of similar size). Returns a list of rounds, each
+    a list of ``(s, d, count)``. Round count is bounded by the maximum
+    in/out degree + 1 (greedy on a bipartite graph)."""
+    D = counts.shape[0]
+    edges = sorted(
+        ((int(counts[s, d]), s, d)
+         for s in range(D) for d in range(D)
+         if counts[s, d] > 0 and s != d),
+        reverse=True,
+    )
+    rounds: list = []
+    src_used: list = []
+    dst_used: list = []
+    for c, s, d in edges:
+        for r, (su, du) in enumerate(zip(src_used, dst_used)):
+            if s not in su and d not in du:
+                rounds[r].append((s, d, c))
+                su.add(s)
+                du.add(d)
+                break
+        else:
+            rounds.append([(s, d, c)])
+            src_used.append({s})
+            dst_used.append({d})
+    return rounds
+
+
+@struct.dataclass
 class ShardedRouteTables:
     """Routing for the sharded-head step: block-0 rows of BOTH orders are
     sharded over all devices (``w_q`` rows each); block-j rows (j >= 1) live
@@ -198,6 +249,14 @@ class ShardedRouteTables:
     max_bwd: int = struct.field(pytree_node=False)
     cut: int = struct.field(pytree_node=False)
     row_split: int = struct.field(pytree_node=False, default=1)
+    # Round-decomposed exchange (see :class:`ExchangeRound` and
+    # :func:`to_round_exchange`). When ``rounds_mode`` is set the gather
+    # tables above index the ROUNDS receive-buffer layout
+    # ``[... ; recv_round_0 ; recv_round_1 ; ... ; zero]`` and the step
+    # executes one ppermute per round instead of the padded all_to_all.
+    fwd_rounds: tuple = ()
+    bwd_rounds: tuple = ()
+    rounds_mode: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def w_loc(self) -> int:
@@ -345,6 +404,101 @@ def build_sharded_route_tables(
         cut=cut,
         row_split=row_split,
     )
+
+
+def to_round_exchange(
+    rt: ShardedRouteTables, pad_multiple: int = 8
+) -> ShardedRouteTables:
+    """Convert a padded-all_to_all :class:`ShardedRouteTables` into the
+    ROUND-DECOMPOSED exchange: the nonzero (src, dst) pair graph is edge-
+    colored into partial-permutation rounds (:func:`_color_rounds`), each
+    executed as one ``lax.ppermute`` padded only to ITS largest edge.
+
+    Rationale: ``lax.all_to_all`` must be uniform, so every device pays
+    ``(D-1) * M`` rows with ``M`` the GLOBAL per-pair maximum — but the
+    level permutations are near-banded, so most pairs are empty (measured:
+    ba-200k level 1 has 27 of 56 pairs nonzero, grid-202k 10 of 72) and the
+    padded volume runs 2.4-6x the occupied bytes. ppermute moves bytes only
+    on listed edges. The trade is one collective LAUNCH per round (rounds =
+    max pair-degree of the exchange, typically 2-6) instead of one
+    all_to_all. This is the TPU answer to the reference's ragged
+    ``Ialltoallv`` (reference: arrow/arrow_dec_mpi.py:462-505,572-610) while
+    ``jax.lax.ragged_all_to_all`` lacks backend support (NOTES backlog #7).
+
+    The returned tables carry rewritten ``fwd_gather``/``bwd_gather`` (and
+    block-0 variants) indexing the rounds receive-buffer layout; the dense
+    ``fwd_send``/``bwd_send`` stay for diagnostics/occupied accounting.
+    """
+    D = int(rt.fwd_send.shape[0])
+    w_loc, w_q = rt.w_loc, rt.w_q
+    w0 = D * w_q
+
+    def convert(send, gathers, base, pad_value, M):
+        """One direction. ``base``: buffer offset where the receive section
+        starts; ``pad_value``: the send-payload padding index. Returns
+        (rounds tuple, remapped gathers, total padded slots)."""
+        send = np.asarray(send)
+        counts = (send != pad_value).sum(axis=-1)
+        np.fill_diagonal(counts, 0)
+        rounds = []
+        off_sd = np.full((D, D), -1, dtype=np.int64)
+        off = 0
+        for edges in _color_rounds(counts):
+            mr = max(c for _, _, c in edges)
+            mr = max(1, -(-mr // pad_multiple) * pad_multiple)
+            send_r = np.full((D, mr), pad_value, dtype=np.int32)
+            perm = []
+            for s, d, c in edges:
+                send_r[s, :c] = send[s, d, :c]
+                perm.append((s, d))
+                off_sd[s, d] = off
+            rounds.append(
+                ExchangeRound(send=send_r, perm=tuple(perm), m=mr)
+            )
+            off += mr
+        old_zero = base + D * M
+        new_gathers = []
+        for g in gathers:
+            g = np.asarray(g).copy()
+            recv = (g >= base) & (g < old_zero)
+            di, ri = np.nonzero(recv)
+            v = g[di, ri] - base
+            s, m = v // M, v % M
+            o = off_sd[s, di]
+            assert (o >= 0).all(), "received slot from an uncolored pair"
+            g[di, ri] = (base + o + m).astype(np.int32)
+            g[g == old_zero] = base + off
+            new_gathers.append(g)
+        return tuple(rounds), new_gathers, off
+
+    fwd_rounds, (fg, f0), _ = convert(
+        rt.fwd_send, (rt.fwd_gather, rt.fwd0_gather),
+        base=w_loc + w0, pad_value=w_loc, M=rt.max_fwd,
+    )
+    bwd_rounds, (bg, b0), _ = convert(
+        rt.bwd_send, (rt.bwd_gather, rt.bwd0_gather),
+        base=w_loc + w_q, pad_value=w_loc + w_q, M=rt.max_bwd,
+    )
+    return rt.replace(
+        fwd_gather=fg,
+        fwd0_gather=f0,
+        bwd_gather=bg,
+        bwd0_gather=b0,
+        fwd_rounds=fwd_rounds,
+        bwd_rounds=bwd_rounds,
+        rounds_mode=True,
+    )
+
+
+def round_exchange_padded_rows(rt: ShardedRouteTables) -> int:
+    """Max-over-devices padded rows a device SENDS per step under the
+    rounds exchange (a device sends only in rounds where it owns an edge)."""
+    sent = np.zeros(int(rt.fwd_send.shape[0]), dtype=np.int64)
+    for rounds in (rt.fwd_rounds, rt.bwd_rounds):
+        for r in rounds:
+            for s, _ in r.perm:
+                sent[s] += r.m
+    return int(sent.max()) if sent.size else 0
 
 
 def sharded_routed_rows_per_pair(

@@ -282,3 +282,35 @@ def test_randomized_consistency(trial):
         np.testing.assert_allclose(
             np.asarray(xl)[inv][:n], ref, rtol=3e-4, atol=3e-4
         )
+
+
+@pytest.mark.parametrize("block_diagonal", [True, False])
+def test_routing_rounds_matches_all_to_all(block_diagonal):
+    """Forced rounds-mode routing (partial-permutation ppermutes,
+    plan/routing.py:to_round_exchange) is numerically identical to the
+    padded all_to_all on the full distributed step."""
+    n, width, q, k = 8 * 40 - 5, 40, 8, 16
+    A = barabasi_albert(n, 4, seed=3)
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100,
+        block_diagonal=block_diagonal, seed=1,
+    )
+    X = random_dense(n, k, seed=9)
+    got = {}
+    for mode in ("all_to_all", "rounds"):
+        plan = compile_plan(
+            decomp, width, q, block_diagonal=block_diagonal, routing=mode
+        )
+        if mode == "rounds":
+            assert any(
+                lvl.route is not None and lvl.route.rounds_mode
+                for lvl in plan.levels
+            )
+        runner = ArrowSpmm(plan, block_mesh(q))
+        x = runner.distribute(X)
+        for _ in range(2):
+            x = runner.step(x)
+        got[mode] = runner.collect(x)
+    ref = A @ (A @ X)
+    np.testing.assert_allclose(got["rounds"], ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(got["rounds"], got["all_to_all"])

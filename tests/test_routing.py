@@ -192,3 +192,129 @@ def test_sharded_block0_sources_never_sent():
     assert fwd.sum() == width - width // q  # shard owner 2 keeps its own share
     # Backward includes the block-0-sourced rows' return paths.
     assert bwd.sum() >= width
+
+
+# --------------------------------------------------- round-decomposed exchange
+
+
+def _simulate_sharded_rounds(rt, q, x):
+    """Rounds-mode twin of :func:`_simulate_sharded`: executes the per-round
+    partial-permutation ppermutes against the rounds receive-buffer layout."""
+    w, w_q = rt.width, rt.w_q
+    k = x.shape[1]
+    w0 = q * w_q
+    x0_pad = np.zeros((w0, k), x.dtype)
+    x0_pad[:w] = x[:w]
+    x_loc = [
+        x[j * w : (j + 1) * w] if j >= 1 else np.zeros((w, k), x.dtype)
+        for j in range(q)
+    ]
+
+    def run_rounds(rounds, payloads):
+        """payloads[s]: send source per device INCLUDING its pad row at the
+        send table's pad index. Returns per-device concatenated recvs."""
+        recvs = [[] for _ in range(q)]
+        for rd in rounds:
+            send = np.asarray(rd.send)
+            perm = dict(rd.perm)  # src -> dst
+            incoming = {d: s for s, d in rd.perm}
+            for d in range(q):
+                if d in incoming:
+                    s = incoming[d]
+                    recvs[d].append(payloads[s][send[s]])
+                else:
+                    recvs[d].append(np.zeros((rd.m, k), x.dtype))
+        return [
+            np.vstack(r) if r else np.zeros((0, k), x.dtype) for r in recvs
+        ]
+
+    xps = [np.vstack([x_loc[s], np.zeros((1, k), x.dtype)]) for s in range(q)]
+    frecv = run_rounds(rt.fwd_rounds, xps)
+    x_i_loc, x_i0_shard = [], []
+    for d in range(q):
+        buf = np.vstack(
+            [x_loc[d], x0_pad, frecv[d], np.zeros((1, k), x.dtype)]
+        )
+        x_i_loc.append(buf[np.asarray(rt.fwd_gather)[d]])
+        x_i0_shard.append(buf[np.asarray(rt.fwd0_gather)[d]])
+    x_level = np.vstack([np.vstack(x_i0_shard)[:w]] + x_i_loc[1:])
+
+    payloads = [
+        np.vstack([x_i_loc[dd], x_i0_shard[dd], np.zeros((1, k), x.dtype)])
+        for dd in range(q)
+    ]
+    brecv = run_rounds(rt.bwd_rounds, payloads)
+    back_loc, back0 = [], []
+    for ss in range(q):
+        buf = np.vstack(
+            [payloads[ss][:-1], brecv[ss], np.zeros((1, k), x.dtype)]
+        )
+        back_loc.append(buf[np.asarray(rt.bwd_gather)[ss]])
+        back0.append(buf[np.asarray(rt.bwd0_gather)[ss]])
+    recovered = np.vstack([np.vstack(back0)[:w]] + back_loc[1:])
+    return x_level, recovered
+
+
+@pytest.mark.parametrize(
+    "width,q,cut_blocks,seed",
+    [(8, 4, None, 0), (8, 4, 2, 1), (12, 8, 3, 2), (7, 3, None, 3)],
+)
+def test_round_exchange_roundtrip(width, q, cut_blocks, seed):
+    """Rounds-mode exchange reproduces the dense exchange exactly."""
+    from arrow_matrix_tpu.plan.routing import to_round_exchange
+
+    N = q * width
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(N).astype(np.int64)
+    cut = cut_blocks * width if cut_blocks else None
+    rt = build_sharded_route_tables(perm, width, q, cut=cut)
+    rr = to_round_exchange(rt)
+    assert rr.rounds_mode
+    x = (np.arange(N, dtype=np.float32).reshape(N, 1) + 1.0) @ np.ones(
+        (1, 3), np.float32
+    )
+    dense_level, dense_rec = _simulate_sharded(rt, q, x)
+    round_level, round_rec = _simulate_sharded_rounds(rr, q, x)
+    np.testing.assert_array_equal(round_level, dense_level)
+    np.testing.assert_array_equal(round_rec, dense_rec)
+
+
+def test_round_exchange_coloring_and_volume():
+    """Each round is a partial permutation, every nonzero pair appears in
+    exactly one round with enough slots, and the rounds exchange never pads
+    more than the dense all_to_all."""
+    from arrow_matrix_tpu.plan.routing import (
+        round_exchange_padded_rows,
+        to_round_exchange,
+    )
+
+    width, q = 12, 8
+    N = q * width
+    perm = np.random.default_rng(7).permutation(N).astype(np.int64)
+    rt = build_sharded_route_tables(perm, width, q)
+    rr = to_round_exchange(rt)
+    fwd_counts, bwd_counts = sharded_routed_rows_per_pair(rt)
+    for rounds, counts, pad in (
+        (rr.fwd_rounds, fwd_counts, rt.w_loc),
+        (rr.bwd_rounds, bwd_counts, rt.w_loc + rt.w_q),
+    ):
+        seen = set()
+        for rd in rounds:
+            srcs = [s for s, _ in rd.perm]
+            dsts = [d for _, d in rd.perm]
+            assert len(set(srcs)) == len(srcs)  # partial permutation
+            assert len(set(dsts)) == len(dsts)
+            for s, d in rd.perm:
+                assert (s, d) not in seen
+                seen.add((s, d))
+                c = int(counts[s, d])
+                assert c <= rd.m
+                # Real slots sit in the first c positions.
+                send = np.asarray(rd.send)
+                assert (send[s, :c] != pad).all()
+                assert (send[s, c:] == pad).all()
+        nz = {(s, d) for s in range(q) for d in range(q)
+              if s != d and counts[s, d] > 0}
+        assert seen == nz
+    a2a = (q - 1) * (rt.max_fwd + rt.max_bwd)
+    assert round_exchange_padded_rows(rr) <= a2a

@@ -39,7 +39,7 @@ from arrow_matrix_tpu.utils.profiling import sync
 ITERS = 20
 
 
-def run_one(name, A, width, force_format, k=16):
+def run_one(name, A, width, force_format, k=16, state_dtype=jnp.float32):
     n = A.shape[0]
     decomp = arrow_decomposition(
         A, width, max_number_of_levels=100, block_diagonal=True, seed=2
@@ -49,7 +49,7 @@ def run_one(name, A, width, force_format, k=16):
     plan = compile_plan(decomp, n, n_devices=1, force_format=force_format,
                         k_hint=k)
     mesh = block_mesh(1)
-    runner = ArrowSpmm(plan, mesh)
+    runner = ArrowSpmm(plan, mesh, state_dtype=state_dtype)
     X = random_dense(n, k, seed=3)
     xs = runner.distribute(X)
 
@@ -103,10 +103,18 @@ def main():
         ("grid-202k/window", grid, 25_313, "window"),
         ("er-8k/bsr", er, 1_024, "bsr"),
     ]
+    # bf16 STATE variant of the distributed program (the round-4 2x lever
+    # measured on the merged windowed plan — here it exercises the stacked
+    # formats + collectives under a bf16 carry on hardware).
+    bf16_configs = [
+        ("grid-202k/window-bf16", grid, 25_313, "window", jnp.bfloat16),
+        ("ba-200k/auto-bf16", ba, 25_000, None, jnp.bfloat16),
+    ]
     out = {}
-    for name, A, width, fmt in configs:
+    for name, A, width, fmt, *dt in configs + bf16_configs:
         try:
-            out[name] = run_one(name, A, width, fmt)
+            out[name] = run_one(name, A, width, fmt,
+                                state_dtype=(dt[0] if dt else jnp.float32))
             print(name, json.dumps(out[name]))
         except Exception as e:  # noqa: BLE001 — record per-format failures
             traceback.print_exc()
