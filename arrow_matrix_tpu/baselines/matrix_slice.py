@@ -165,7 +165,19 @@ def build_slice_plan(
 
     def build_role(blocks):
         # Per-role format: dense-enough slices take the Pallas BSR/MXU path
-        # (k = 32 is the reference PETSc default, spmm_petsc_main.py:34).
+        # (k = 32 is the reference PETSc default, spmm_petsc_main.py:34);
+        # naturally banded slices beyond VMEM residency take the windowed
+        # BSR path (calibration-gated — grids arrive banded).
+        if force_format == "window":
+            from arrow_matrix_tpu.ops.bsr_pallas import stack_windowed_from_csr
+
+            return stack_windowed_from_csr(blocks)
+        if force_format is None:
+            from arrow_matrix_tpu.ops.dispatch import stacked_windowed_or_none
+
+            wm = stacked_windowed_or_none(blocks, k_hint)
+            if wm is not None:
+                return wm
         fmt = force_format or preferred_format_blocks(blocks, k_hint)
         if fmt == "bsr":
             return stack_bsr_from_csr(blocks)

@@ -38,9 +38,7 @@ from arrow_matrix_tpu.ops.bsr_pallas import (
     preferred_format_blocks,
     stack_bsr_from_csr,
 )
-from arrow_matrix_tpu.ops.dispatch import bsr_apply
-from arrow_matrix_tpu.ops.ell import ell_spmm
-from arrow_matrix_tpu.ops.formats import EllMat, stack_ells_from_csr
+from arrow_matrix_tpu.ops.formats import stack_ells_from_csr
 
 ROW_AXIS = "row"
 REPL_AXIS = "repl"
@@ -153,40 +151,35 @@ class Spmm15D:
                     flat_blocks.append(blk)
         # Format choice: gather-ELL for scattered blocks, Pallas BSR for
         # dense-enough ones (k = 128 is the reference default — the MXU
-        # regime; reference: scripts/spmm_15d_main.py:57).
-        self.fmt = force_format or preferred_format_blocks(flat_blocks, k_hint)
-        if self.fmt == "bsr":
-            stacked = stack_bsr_from_csr(flat_blocks)  # (P, T, TM, TN)
-            self.lA = stacked.replace(
-                tiles_data=stacked.tiles_data.reshape(
-                    (p_div_c, c) + stacked.tiles_data.shape[1:]
-                ),
-                tiles_col=stacked.tiles_col.reshape(
-                    (p_div_c, c) + stacked.tiles_col.shape[1:]
-                ),
-                prog_rows=stacked.prog_rows.reshape(
-                    (p_div_c, c) + stacked.prog_rows.shape[1:]
-                ),
-                row_occupied=stacked.row_occupied.reshape(
-                    (p_div_c, c) + stacked.row_occupied.shape[1:]
-                ),
-                tiles_lrow=(
-                    stacked.tiles_lrow.reshape(
-                        (p_div_c, c) + stacked.tiles_lrow.shape[1:]
-                    )
-                    if stacked.tiles_lrow is not None
-                    else None
-                ),
+        # regime; reference: scripts/spmm_15d_main.py:57), and windowed BSR
+        # for NATURALLY banded matrices beyond the VMEM residency bound
+        # (the calibrated gate; the baseline has no decomposition/RCM, so
+        # only inputs that arrive banded qualify — grids do).
+        stacked = None
+        if force_format == "window":
+            from arrow_matrix_tpu.ops.bsr_pallas import stack_windowed_from_csr
+
+            stacked, self.fmt = stack_windowed_from_csr(flat_blocks), "window"
+        elif force_format is None:
+            from arrow_matrix_tpu.ops.dispatch import stacked_windowed_or_none
+
+            wm = stacked_windowed_or_none(flat_blocks, k_hint)
+            if wm is not None:
+                stacked, self.fmt = wm, "window"
+        if stacked is None:
+            self.fmt = force_format or preferred_format_blocks(
+                flat_blocks, k_hint
             )
-        else:
-            stacked = stack_ells_from_csr(flat_blocks, slots_per_row)  # (P, V, R)
-            self.lA = stacked.replace(
-                idx=stacked.idx.reshape((p_div_c, c) + stacked.idx.shape[1:]),
-                val=stacked.val.reshape((p_div_c, c) + stacked.val.shape[1:]),
-                combine=tuple(
-                    t.reshape((p_div_c, c) + t.shape[1:]) for t in stacked.combine
-                ),
+            stacked = (
+                stack_bsr_from_csr(flat_blocks)  # (P, T, TM, TN)
+                if self.fmt == "bsr"
+                else stack_ells_from_csr(flat_blocks, slots_per_row)  # (P, V, R)
             )
+        # One stacked pytree whose leading P axis splits into the
+        # (row-group, replication) grid; statics ride through tree.map.
+        self.lA = jax.tree.map(
+            lambda a: a.reshape((p_div_c, c) + a.shape[1:]), stacked
+        )
 
         self._x_sharding = NamedSharding(mesh, P((REPL_AXIS, ROW_AXIS), None))
         self._y_sharding = NamedSharding(mesh, P(ROW_AXIS, None))
@@ -197,11 +190,6 @@ class Spmm15D:
             self.lA, jax.tree.map(lambda s: NamedSharding(mesh, s), self._plan_spec)
         )
 
-        fmt = self.fmt
-        stage_inputs = (
-            self.lA.stage_inputs if isinstance(self.lA, EllMat) else None
-        )
-
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
@@ -210,31 +198,12 @@ class Spmm15D:
             check_vma=False,
         )
         def spmm_body(lA, x_local):
+            from arrow_matrix_tpu.ops.dispatch import apply_mat
+
             # x_local: (s_in, k) — this device's X shard.
             x_cols = lax.all_gather(x_local, ROW_AXIS, tiled=True)  # (lNK, k)
-            if fmt == "bsr":
-                m = lA.replace(
-                    tiles_data=lA.tiles_data[0, 0],
-                    tiles_col=lA.tiles_col[0, 0],
-                    prog_rows=lA.prog_rows[0, 0],
-                    row_occupied=lA.row_occupied[0, 0],
-                    tiles_lrow=(
-                        lA.tiles_lrow[0, 0]
-                        if lA.tiles_lrow is not None
-                        else None
-                    ),
-                )
-                y_partial = bsr_apply(m, x_cols, lNI)
-            else:
-                m = EllMat(
-                    idx=lA.idx[0, 0],
-                    val=lA.val[0, 0],
-                    combine=tuple(t[0, 0] for t in lA.combine),
-                    n_rows=lNI,
-                    n_cols=lNK,
-                    stage_inputs=stage_inputs,
-                )
-                y_partial = ell_spmm(m, x_cols)  # (lNI, k)
+            m = jax.tree.map(lambda a: a[0, 0], lA)
+            y_partial = apply_mat(m, x_cols, lNI)  # (lNI, k)
             return lax.psum(y_partial, REPL_AXIS)
 
         self._spmm = jax.jit(spmm_body)

@@ -38,11 +38,13 @@ def main(argv=None):
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--validate", type=str2bool, default=False)
     p.add_argument("--devices", type=int, default=None)
-    p.add_argument("--format", choices=["auto", "ell", "bsr"], default="auto",
+    p.add_argument("--format", choices=["auto", "ell", "bsr", "window"],
+                   default="auto",
                    help="local-block kernel: the gather path, the Pallas "
-                        "BSR/MXU path with automatic k-tiling, or the "
-                        "calibrated cost model (the TPU analogue of the "
-                        "reference's --gpu-tiling knob, "
+                        "BSR/MXU path with automatic k-tiling, the windowed "
+                        "BSR path (naturally banded matrices beyond VMEM "
+                        "residency), or the calibrated cost model (the TPU "
+                        "analogue of the reference's --gpu-tiling knob, "
                         "scripts/spmm_15d_main.py:68)")
     p.add_argument("--log_dir", type=str, default="./logs")
     p.add_argument("--timing", choices=["per_step", "fori"],

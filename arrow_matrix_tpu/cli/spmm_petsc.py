@@ -48,12 +48,14 @@ def main(argv=None):
     p.add_argument("--edges", type=int, default=1_000_000)
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--devices", type=int, default=None)
-    p.add_argument("--format", choices=["auto", "ell", "bsr"], default="auto",
+    p.add_argument("--format", choices=["auto", "ell", "bsr", "window"],
+                   default="auto",
                    help="local-block kernel: the gather path, the Pallas "
-                        "BSR/MXU path with automatic k-tiling, or the "
-                        "calibrated cost model (the TPU analogue of the "
-                        "reference's --gpu-tiling / --memory knobs, "
-                        "scripts/spmm_petsc_main.py:38-41)")
+                        "BSR/MXU path with automatic k-tiling, the windowed "
+                        "BSR path (naturally banded slices beyond VMEM "
+                        "residency), or the calibrated cost model (the TPU "
+                        "analogue of the reference's --gpu-tiling / "
+                        "--memory knobs, scripts/spmm_petsc_main.py:38-41)")
     p.add_argument("--exchange", choices=["rows", "ranges"], default="rows",
                    help="ship exactly the needed remote rows (the "
                         "reference's element exchange) or the contiguous "
