@@ -197,3 +197,31 @@ def test_fat_session_api():
     sess.run(2)
     got = sess.allgather_result()
     np.testing.assert_allclose(got, A @ (A @ X), rtol=2e-4, atol=2e-4)
+
+
+def test_fat_rounds_routing_matches_all_to_all():
+    """Forced rounds-mode routing on the FAT (tuple-axis) mesh is
+    bit-identical to the all_to_all exchange — exercises the ppermute
+    device-numbering remap (arrow_spmm._perm_pairs: ppermute under a tuple
+    axis numbers devices mesh row-major, not half-major)."""
+    q, r = 4, 2
+    n = 16 * 4 - 3
+    A = barabasi_albert(n, 4, seed=0)
+    width = 16
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=True, seed=1
+    )
+    X = random_dense(n, 8, seed=5)
+    got = {}
+    for mode in ("all_to_all", "rounds"):
+        plan = compile_plan(decomp, width, q, row_split=r, routing=mode)
+        if mode == "rounds":
+            assert any(
+                lvl.route is not None and lvl.route.rounds_mode
+                for lvl in plan.levels
+            )
+        runner = FatArrowSpmm(plan, fat_mesh(q, r))
+        got[mode] = runner.collect(runner.step(runner.distribute(X)))
+    np.testing.assert_array_equal(got["rounds"], got["all_to_all"])
+    ref = A @ X
+    np.testing.assert_allclose(got["rounds"], ref, rtol=1e-4, atol=1e-4)

@@ -83,6 +83,16 @@ def main():
                     "petsc_step_ms": rp["median_spmm_time"] * 1e3,
                     "arrow_r03_nnz_per_s": ARROW_R03.get((name, k)),
                 }
+                if family == "grid":
+                    # Naturally banded input: also measure the baseline's
+                    # forced windowed-BSR kernel (the auto gate rates it a
+                    # wash against near-cliff ELL; settle it on hardware).
+                    rw = run_cli(
+                        spmm_15d.main,
+                        ["--dataset", "file", "--file", npz,
+                         "--format", "window"] + common,
+                    )
+                    out[key]["spmm_15d_window_nnz_per_s"] = rw["nnz_per_s"]
                 print(key, json.dumps(out[key]), flush=True)
     print(json.dumps({"metric": "baselines_on_chip", "configs": out}))
 
