@@ -124,3 +124,27 @@ def test_training_smoke(problem):
     l0, g = jax.value_and_grad(loss)(Wd)
     l1 = loss(Wd - 0.1 * g)
     assert float(l1) < float(l0)
+
+
+def test_bf16_state_operator_grad(problem):
+    """bf16 state through the custom-VJP operator: forward and gradient
+    both ride the half-width state (dtype preserved end-to-end) and track
+    the analytic forms to bf16 tolerance."""
+    A, decomp = problem
+    op = ArrowOperator(decomp, 51, n_devices=1, k_hint=8)
+    X = random_dense(A.shape[0], 8, seed=6)
+    W = random_dense(A.shape[0], 8, seed=7)
+    xs = op.distribute(X).astype(jnp.bfloat16)
+    ws = op.distribute(W).astype(jnp.bfloat16)
+    y = op.apply(xs)
+    assert y.dtype == jnp.bfloat16
+    got = op.collect(y)
+    want = A @ X
+    scale = max(np.abs(want).max(), 1e-30)
+    np.testing.assert_allclose(got, want, atol=3e-2 * scale)
+    gx = jax.grad(lambda x: jnp.vdot(op.apply(x).astype(jnp.float32),
+                                     ws.astype(jnp.float32)))(xs)
+    assert gx.dtype == jnp.bfloat16
+    gref = A.T @ W
+    gscale = max(np.abs(gref).max(), 1e-30)
+    np.testing.assert_allclose(op.collect(gx), gref, atol=3e-2 * gscale)
