@@ -245,21 +245,11 @@ def bench_spmm(
         # per-step taxonomy below cannot separate from the device step
         # (bench.py's scheme). Single-chip only: the distributed runner's
         # step is shard_map-jitted per call.
-        import time as _t
+        from arrow_matrix_tpu.utils.profiling import fori_time
 
-        def loop(plan, x, iters):
-            return jax.lax.fori_loop(0, iters, lambda i, v: jitted(plan, v), x)
-
-        loop = jax.jit(loop, static_argnums=2)
-
-        def fence(arr):
-            return np.asarray(jax.device_get(arr[:1, :1]))
-
-        fence(loop(dplan, x, 1))
-        fence(loop(dplan, x, iterations))
-        tic = _t.perf_counter(); fence(loop(dplan, x, 1)); t1 = _t.perf_counter() - tic
-        tic = _t.perf_counter(); fence(loop(dplan, x, iterations)); tn = _t.perf_counter() - tic
-        med = max((tn - t1) / max(1, iterations - 1), 1e-9)
+        med = fori_time(
+            lambda p, v: jitted(p, v), dplan, x, max(2, iterations)
+        )
         metrics.log({"spmm_time": med})
         log_path = metrics.finish(log_dir)
         stats = {
@@ -316,6 +306,7 @@ def bench_spmm(
         "nnz_per_s": nnz / med if med > 0 else float("inf"),
         "levels": len(decomposition),
         "log_path": log_path,
+        "timing": timing,
     }
     if validate:
         stats["validate_rel_err"] = rel

@@ -324,13 +324,26 @@ def convert_decomposition(
             path = legacy if width is not None and os.path.exists(legacy) else None
         if path is None:
             break
+        out_width = width
+        if out_width is None:
+            # The any-width fallback located the source; recover its width
+            # from the filename so the written triplets carry a real width
+            # (a literal "_B_None_" name would be unloadable).
+            m = re.search(r"_B_(\d+)_", os.path.basename(path))
+            if m is None:
+                raise ValueError(
+                    f"cannot infer arrow width from {path!r}; pass width="
+                )
+            out_width = int(m.group(1))
         B = sparse.load_npz(path)
         for ftype, arr in (
             (DecompositionFileType.indptr_npy, B.indptr),
             (DecompositionFileType.indices_npy, B.indices),
             (DecompositionFileType.data_npy, B.data),
         ):
-            np.save(format_path(filename, width, i, block_diagonal, ftype), arr)
+            np.save(
+                format_path(filename, out_width, i, block_diagonal, ftype), arr
+            )
         decomposition.append((B, None))
         i += 1
     return decomposition

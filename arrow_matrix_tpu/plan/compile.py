@@ -473,13 +473,14 @@ def compile_plan(
             for b in blocks
         ]
 
+    if routing not in ("all_to_all", "rounds", "auto"):
+        raise ValueError(f"unknown routing mode {routing!r}")
+
     def pick_route(rt):
         """Apply the requested inter-level exchange mode to one level's
         tables (see the ``routing`` parameter)."""
         if rt is None or routing == "all_to_all":
             return rt
-        if routing not in ("rounds", "auto"):
-            raise ValueError(f"unknown routing mode {routing!r}")
         from arrow_matrix_tpu.plan.routing import (
             round_exchange_padded_rows,
             to_round_exchange,

@@ -174,8 +174,9 @@ def _color_rounds(counts: np.ndarray) -> list:
     """Greedy edge coloring of the nonzero (src, dst) pair multigraph into
     partial-permutation rounds, largest edges first (so each round's pad
     ``Mr`` is set by edges of similar size). Returns a list of rounds, each
-    a list of ``(s, d, count)``. Round count is bounded by the maximum
-    in/out degree + 1 (greedy on a bipartite graph)."""
+    a list of ``(s, d, count)``. Greedy bipartite edge coloring can need up
+    to ``2*maxdeg - 1`` rounds in the worst case (optimal is maxdeg by
+    König's theorem); measured pair graphs color in a handful of rounds."""
     D = counts.shape[0]
     edges = sorted(
         ((int(counts[s, d]), s, d)
@@ -419,9 +420,9 @@ def to_round_exchange(
     level permutations are near-banded, so most pairs are empty (measured:
     ba-200k level 1 has 27 of 56 pairs nonzero, grid-202k 10 of 72) and the
     padded volume runs 2.4-6x the occupied bytes. ppermute moves bytes only
-    on listed edges. The trade is one collective LAUNCH per round (rounds =
-    max pair-degree of the exchange, typically 2-6) instead of one
-    all_to_all. This is the TPU answer to the reference's ragged
+    on listed edges. The trade is one collective LAUNCH per round (greedy
+    coloring uses between maxdeg and 2*maxdeg-1 rounds, typically a
+    handful on the measured pair graphs) instead of one all_to_all. This is the TPU answer to the reference's ragged
     ``Ialltoallv`` (reference: arrow/arrow_dec_mpi.py:462-505,572-610) while
     ``jax.lax.ragged_all_to_all`` lacks backend support (NOTES backlog #7).
 
@@ -461,13 +462,19 @@ def to_round_exchange(
         for g in gathers:
             g = np.asarray(g).copy()
             recv = (g >= base) & (g < old_zero)
+            # Identify zero-row entries BEFORE remapping: when the total
+            # round-padded slots exceed D*M, a remapped real slot can land
+            # exactly on old_zero and a late zero-rewrite would clobber it
+            # to the zero row (silent data loss — caught in review by a
+            # 5-round D=4 coloring with off=40 > D*M=32).
+            was_zero = g == old_zero
             di, ri = np.nonzero(recv)
             v = g[di, ri] - base
             s, m = v // M, v % M
             o = off_sd[s, di]
             assert (o >= 0).all(), "received slot from an uncolored pair"
             g[di, ri] = (base + o + m).astype(np.int32)
-            g[g == old_zero] = base + off
+            g[was_zero] = base + off
             new_gathers.append(g)
         return tuple(rounds), new_gathers, off
 

@@ -54,6 +54,11 @@ def fori_time(step_fn, plan, x, iterations: int, reps: int = 3) -> float:
 
     import jax.numpy as jnp  # noqa: F401 — keep jax imported lazily above
 
+    # Differencing needs two distinct loop lengths; at iterations=1 the
+    # difference is pure noise and the 1e-9 clamp would print absurd
+    # throughput.
+    assert iterations >= 2, "fori_time needs iterations >= 2"
+
     run = jax.jit(
         lambda p, v, n: jax.lax.fori_loop(0, n, lambda i, s: step_fn(p, s), v),
         static_argnums=2,

@@ -318,3 +318,34 @@ def test_round_exchange_coloring_and_volume():
         assert seen == nz
     a2a = (q - 1) * (rt.max_fwd + rt.max_bwd)
     assert round_exchange_padded_rows(rr) <= a2a
+
+
+def test_round_exchange_overflow_total_slots(monkeypatch):
+    """When total round-padded slots exceed the dense D*M receive size, a
+    remapped real slot can land exactly on the OLD zero index — the zero
+    rewrite must not clobber it (regression: the zero mask is computed
+    before the recv remap). Forced by a pathological one-edge-per-round
+    coloring."""
+    import arrow_matrix_tpu.plan.routing as routing_mod
+    from arrow_matrix_tpu.plan.routing import to_round_exchange
+
+    width, q = 8, 4
+    N = q * width
+    perm = np.random.default_rng(11).permutation(N).astype(np.int64)
+    rt = build_sharded_route_tables(perm, width, q)
+
+    orig = routing_mod._color_rounds
+    monkeypatch.setattr(
+        routing_mod, "_color_rounds",
+        lambda counts: [[e] for r in orig(counts) for e in r],
+    )
+    rr = to_round_exchange(rt)
+    total = sum(r.m for r in rr.fwd_rounds)
+    assert total > q * rt.max_fwd, "fixture must exercise the overflow"
+    x = (np.arange(N, dtype=np.float32).reshape(N, 1) + 1.0) @ np.ones(
+        (1, 2), np.float32
+    )
+    dense_level, dense_rec = _simulate_sharded(rt, q, x)
+    round_level, round_rec = _simulate_sharded_rounds(rr, q, x)
+    np.testing.assert_array_equal(round_level, dense_level)
+    np.testing.assert_array_equal(round_rec, dense_rec)
