@@ -392,4 +392,6 @@ def blocked_step(plan: BlockedPlan, x: jnp.ndarray) -> jnp.ndarray:
         c_pad = jnp.concatenate([c_i, jnp.zeros((1, k), x.dtype)], axis=0)
         (c_pad,) = jax.lax.optimization_barrier((c_pad,))
         c = c + big_take(c_pad, lvl.src_to_dst)
-    return c
+    # Preserve the state dtype so iterated fori_loop carries stay stable
+    # under a bf16 STATE (some format branches emit f32 partials).
+    return c.astype(x.dtype)

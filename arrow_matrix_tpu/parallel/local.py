@@ -253,6 +253,7 @@ def compile_single_chip(
     refine: str = "auto",
     region_rows: int | None = None,
     matrix_dtype="auto",
+    window_tiles: int | None = None,
 ):
     """Compile the best single-chip executor and return ``(plan, step_fn)``.
 
@@ -301,7 +302,8 @@ def compile_single_chip(
         # format build (windowed pack + ELL chunking over the merged nnz)
         # even when the region executor wins.
         wm = maybe_windowed(
-            Bt, k_hint, dtype=resolve_tile_dtype(matrix_dtype, Bt.data)
+            Bt, k_hint, dtype=resolve_tile_dtype(matrix_dtype, Bt.data),
+            window_tiles=window_tiles,
         )
         if wm is not None:
             from arrow_matrix_tpu.ops.bsr_pallas import window_padded_rows
