@@ -217,8 +217,10 @@ BASKET = [
     ("grid-202k-k128", "grid", 202_500, 128, "float32"),
     ("grid-202k-bf16", "grid", 202_500, 16, "bfloat16"),
     ("grid-1m-bf16", "grid", 1_000_000, 16, "bfloat16"),
-    # No ba-*-bf16 rows: the gather-ELL path measured byte-insensitive
-    # (index-bound plateau; tools/probe_bf16_ell.py — 240.0 vs 239.6 M).
+    ("grid-202k-k128-bf16", "grid", 202_500, 128, "bfloat16"),
+    # No ba-*-bf16 rows (gather-ELL measured byte-insensitive — index-bound
+    # plateau, tools/probe_bf16_ell.py: 240.0 vs 239.6 M) and no er-bf16
+    # (resident BSR is A-tile-stream bound, +1.8%, tools/probe_bf16_more.py).
 ]
 
 
