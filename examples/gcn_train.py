@@ -47,6 +47,12 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--lr", type=float, default=0.5)
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--state_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="propagation-state dtype: bfloat16 halves the "
+                        "activation bytes through both Â multiplies (the "
+                        "windowed family measured 2x from this; gradients "
+                        "ride the same dtype through the custom VJP)")
     args = p.parse_args(argv)
 
     rng = np.random.default_rng(0)
@@ -66,7 +72,8 @@ def main(argv=None):
         M, width, max_number_of_levels=20, block_diagonal=True, seed=0
     )
     op = ArrowOperator(decomp, width, n_devices=args.devices, k_hint=k)
-    xs = op.distribute(X)
+    state_dtype = jnp.dtype(args.state_dtype)
+    xs = op.distribute(X).astype(state_dtype)
     # Labels live in the operator's state layout: distribute the one-hot
     # matrix and a validity mask (padding rows come back zero).
     onehot = np.zeros((n, c), dtype=np.float32)
@@ -82,8 +89,8 @@ def main(argv=None):
     }
 
     def loss_fn(params):
-        h = jax.nn.relu(op.apply(xs @ params["w0"]))
-        logits = op.apply(h) @ params["w1"]
+        h = jax.nn.relu(op.apply((xs @ params["w0"]).astype(state_dtype)))
+        logits = op.apply(h).astype(jnp.float32) @ params["w1"]
         logp = jax.nn.log_softmax(logits, axis=-1)
         ll = jnp.sum(ys * logp, axis=-1, keepdims=True) * mask
         return -jnp.sum(ll) / jnp.sum(mask)
