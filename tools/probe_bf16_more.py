@@ -9,6 +9,7 @@
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -23,10 +24,14 @@ from arrow_matrix_tpu.utils.profiling import sync
 
 ITERS = 30
 
-CONFIGS = [
-    ("er-16k/k16", erdos_renyi(16_384, 0.01, seed=1), 2048, 16),
-    ("grid-202k/k128", grid_graph(450), 25_313, 128),
-]
+ALL_CONFIGS = {
+    "er-16k/k16": lambda: (erdos_renyi(16_384, 0.01, seed=1), 2048, 16),
+    "grid-202k/k128": lambda: (grid_graph(450), 25_313, 128),
+    "grid-1m/k128": lambda: (grid_graph(1000), 25_000, 128),
+}
+
+names = sys.argv[1:] or ["er-16k/k16", "grid-202k/k128"]
+CONFIGS = [(nm,) + ALL_CONFIGS[nm]() for nm in names]
 
 out = {}
 for name, A, width, K in CONFIGS:
