@@ -21,7 +21,9 @@ from arrow_matrix_tpu.utils.profiling import sync
 ITERS = 30
 K = 16
 
-n, width = 200_000, 25_000
+import sys
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+width = 25_000
 A = barabasi_albert(n, 4, seed=1)
 decomp = arrow_decomposition(A, width, max_number_of_levels=100,
                              block_diagonal=True, seed=2)
