@@ -221,11 +221,13 @@ def local_plan_from_merged(
     slots_per_row: int | None = None,
     force_format: str | None = None,
     matrix_dtype=np.float32,
+    window_tiles: int | None = None,
 ) -> LocalArrowPlan:
     """Build the merged :class:`LocalArrowPlan` from an already-merged (and
     possibly refined) ``(cut, cut)`` operator in level-0 order."""
     fmt, mat, mat_sparse = _choose_format(
-        Bt, k_hint, slots_per_row, force_format, matrix_dtype
+        Bt, k_hint, slots_per_row, force_format, matrix_dtype,
+        window_tiles=window_tiles,
     )
     return LocalArrowPlan(
         levels=(
@@ -341,12 +343,13 @@ def compile_single_chip(
         return plan, region_step
     plan = local_plan_from_merged(
         Bt, cut, padded_perms, width, q, n, k_hint=k_hint,
-        matrix_dtype=matrix_dtype,
+        matrix_dtype=matrix_dtype, window_tiles=window_tiles,
     )
     return plan, local_step
 
 
-def _choose_format(Bt, k_hint, slots_per_row, force_format, dtype=np.float32):
+def _choose_format(Bt, k_hint, slots_per_row, force_format, dtype=np.float32,
+                   window_tiles=None):
     """Pick 'ell', 'bsr', 'window', or 'hybrid' for a level matrix and build
     it. ``dtype`` sets the BSR tile payload: ``"auto"`` (resolve_tile_dtype)
     uses bfloat16 when it is LOSSLESS — every value exactly
@@ -377,7 +380,8 @@ def _choose_format(Bt, k_hint, slots_per_row, force_format, dtype=np.float32):
         # Calibrated windowed kernel beats both the gather floor and the
         # streaming kernel on banded operators beyond VMEM residency
         # (gate in ops.dispatch.maybe_windowed).
-        wm = maybe_windowed(Bt, k_hint, dtype=tile_dtype)
+        wm = maybe_windowed(Bt, k_hint, dtype=tile_dtype,
+                            window_tiles=window_tiles)
         if wm is not None:
             return "window", wm, None
     fmt = force_format or preferred_format(Bt, k_hint)

@@ -193,4 +193,6 @@ def region_step(plan: RegionPlan, x: jnp.ndarray) -> jnp.ndarray:
     pad = plan.padded_rows - plan.cut
     if pad:
         c = jnp.concatenate([c, jnp.zeros((pad, k), x.dtype)], axis=0)
-    return c
+    # Preserve the state dtype so iterated fori_loop carries stay stable
+    # under a bf16 STATE (the BSR parts emit f32 partials).
+    return c.astype(x.dtype)

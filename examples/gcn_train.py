@@ -122,8 +122,8 @@ def main(argv=None):
         if step % 5 == 0 or step == args.steps - 1:
             print(f"step {step:3d}  loss {float(l):.4f}", flush=True)
 
-    h = jax.nn.relu(op.apply(xs @ params["w0"]))
-    logits = op.collect(op.apply(h) @ params["w1"])
+    h = jax.nn.relu(op.apply((xs @ params["w0"]).astype(state_dtype)))
+    logits = op.collect(op.apply(h).astype(jnp.float32) @ params["w1"])
     acc = float((np.argmax(logits, axis=1) == y).mean())
     print(f"final loss {losses[-1]:.4f} (from {losses[0]:.4f}), "
           f"train accuracy {acc:.3f}")

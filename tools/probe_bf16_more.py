@@ -26,7 +26,9 @@ ITERS = 30
 
 ALL_CONFIGS = {
     "er-16k/k16": lambda: (erdos_renyi(16_384, 0.01, seed=1), 2048, 16),
-    "grid-202k/k128": lambda: (grid_graph(450), 25_313, 128),
+    # width 25_000 matches bench.build_graph (q=9 blocks) so probe
+    # numbers compare structurally with the basket rows.
+    "grid-202k/k128": lambda: (grid_graph(450), 25_000, 128),
     "grid-1m/k128": lambda: (grid_graph(1000), 25_000, 128),
 }
 
