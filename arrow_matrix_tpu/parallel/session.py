@@ -136,8 +136,10 @@ class ArrowSession:
                 decomposition, width, k_hint=features
             )
             self._device_plan = jax.device_put(self.plan)
+            self._step_fn = step_fn
             jitted = jax.jit(step_fn)
             self._step = lambda x: jitted(self._device_plan, x)
+        self._run = None
 
     @classmethod
     def from_path(
@@ -198,8 +200,32 @@ class ArrowSession:
         self.iteration += 1
 
     def run(self, iterations: int) -> None:
-        for _ in range(iterations):
-            self.step()
+        """Iterate ``X <- A X`` ``iterations`` times.
+
+        The single-chip path fuses the whole run into one ``fori_loop``
+        dispatch with ``unroll=2`` — the ping-pong two-buffer iteration that
+        lets XLA write each unrolled body's result straight into the loop
+        carry instead of paying a full-state copy at the while back edge
+        (measured -22% per step on the windowed family,
+        tools/probe_pingpong.py), and one dispatch instead of ``iterations``
+        (the relay charges ~15-40 ms fixed per dispatch)."""
+        assert self._x is not None, "call set_features/zero_rhs first"
+        if iterations <= 0:
+            return
+        if self.n_devices > 1 or self.plan_is_fat:
+            for _ in range(iterations):
+                self.step()
+            return
+        if self._run is None:
+            step_fn = self._step_fn
+
+            def fused(plan, x, iters):
+                return jax.lax.fori_loop(
+                    0, iters, lambda i, s: step_fn(plan, s), x, unroll=2)
+
+            self._run = jax.jit(fused, static_argnums=2)
+        self._x = self._run(self._device_plan, self._x, iterations)
+        self.iteration += iterations
 
     def allgather_result(self) -> np.ndarray:
         """Materialize the current features in original row order

@@ -40,7 +40,8 @@ def trace(path: str):
         yield
 
 
-def fori_time(step_fn, plan, x, iterations: int, reps: int = 3) -> float:
+def fori_time(step_fn, plan, x, iterations: int, reps: int = 3,
+              unroll: int = 2) -> float:
     """Differenced 1- vs N-iteration ``fori_loop`` timing of one iterated
     step, returning seconds/iteration. Through the axon relay every dispatch
     carries ~15-40 ms fixed cost; differencing two loop lengths isolates the
@@ -48,7 +49,17 @@ def fori_time(step_fn, plan, x, iterations: int, reps: int = 3) -> float:
     MEDIANS differenced (the fixed cost varies +-10 ms per dispatch, which
     single-shot differencing leaks into fast steps as +-8% noise). ``plan``
     rides as a jit ARGUMENT (closed-over device arrays re-materialize as HLO
-    constants and can trip the relay's compile body limit)."""
+    constants and can trip the relay's compile body limit).
+
+    ``unroll=2`` (default) is the ping-pong two-buffer iteration: a one-step
+    while body must write its output into the buffer its kernels are still
+    reading, so XLA inserts a full-state copy at the back edge (~1.58 ms f32
+    at grid-1M, tools/profile_window_step.py). With the body unrolled to
+    ``x -> step -> y -> step -> z``, step 2 reads the scratch ``y`` and XLA
+    writes ``z`` straight into the carry buffer — measured to remove exactly
+    the priced copy on the windowed family (grid-1M 7.10 -> 5.54 ms f32,
+    3.66 -> 2.85 bf16; grid-202k bf16 0.70 -> 0.43; tools/probe_pingpong.py),
+    and it is semantics-preserving for every executor."""
     import statistics
     import time
 
@@ -60,7 +71,8 @@ def fori_time(step_fn, plan, x, iterations: int, reps: int = 3) -> float:
     assert iterations >= 2, "fori_time needs iterations >= 2"
 
     run = jax.jit(
-        lambda p, v, n: jax.lax.fori_loop(0, n, lambda i, s: step_fn(p, s), v),
+        lambda p, v, n: jax.lax.fori_loop(
+            0, n, lambda i, s: step_fn(p, s), v, unroll=unroll),
         static_argnums=2,
     )
     sync(run(plan, x, 1))

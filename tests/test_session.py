@@ -49,6 +49,27 @@ def test_session_from_path(problem, tmp_path):
     )
 
 
+def test_session_fused_run_matches_steps(problem):
+    """The single-chip fused ``run`` (one unroll=2 fori_loop dispatch — the
+    ping-pong iteration that removes the while back-edge state copy) must be
+    bit-compatible with repeated ``step`` calls, for even and odd counts."""
+    A, decomp = problem
+    X = random_dense(A.shape[0], 8, seed=12)
+    for iters in (2, 3):
+        s_run = ArrowSession(decomp, 51, n_devices=1)
+        s_step = ArrowSession(decomp, 51, n_devices=1)
+        s_run.set_features(X)
+        s_step.set_features(X)
+        s_run.run(iters)
+        for _ in range(iters):
+            s_step.step()
+        assert s_run.iteration == s_step.iteration == iters
+        np.testing.assert_allclose(
+            s_run.allgather_result(), s_step.allgather_result(),
+            rtol=1e-6, atol=1e-6,
+        )
+
+
 def test_session_zero_rhs(problem):
     _, decomp = problem
     session = ArrowSession(decomp, 51, n_devices=1)
