@@ -136,6 +136,201 @@ def grid_graph(side: int, seed: int | None = None) -> sparse.csr_matrix:
     return A
 
 
+def rmat_edges_to_disk(
+    scale: int,
+    path: str,
+    edge_factor: int = 16,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int | None = None,
+    chunk_edges: int = 1 << 25,
+):
+    """Stream-generate RMAT edges to disk in bounded memory.
+
+    Writes two raw int32 memmaps ``<path>.src`` / ``<path>.dst`` (self-loops
+    dropped, files truncated to the kept count) and returns
+    ``(src_mm, dst_mm, n)`` with the memmaps reopened read-only.  Peak RSS is
+    O(chunk_edges), independent of the total edge count — the 22 GB
+    generation-RSS floor of the in-memory ``rmat_graph`` at scale 24 becomes
+    ~1.5 GB (the reference reaches this scale only through its Julia rewrite,
+    reference: README.md:50,67-68; julia/arrow/ArrowDecompositionMain.jl).
+
+    With ``chunk_edges >= edge_factor * 2**scale`` the RNG draw order matches
+    ``rmat_graph`` exactly, so the same seed yields the identical edge list
+    (the equality test hook).
+    """
+    import os
+
+    n = 1 << scale
+    m = edge_factor * n
+    rng = np.random.default_rng(seed)
+    ab, abc = a + b, a + b + c
+    src_f = np.memmap(path + ".src", dtype=np.int32, mode="w+", shape=(m,))
+    dst_f = np.memmap(path + ".dst", dtype=np.int32, mode="w+", shape=(m,))
+    kept = 0
+    for lo in range(0, m, chunk_edges):
+        cm = min(chunk_edges, m - lo)
+        s = np.zeros(cm, dtype=np.int64)
+        d = np.zeros(cm, dtype=np.int64)
+        for _ in range(scale):
+            r = rng.random(cm)
+            right = r >= ab
+            low = (r >= a) & (r < ab) | (r >= abc)
+            s = (s << 1) | right
+            d = (d << 1) | low
+        keep = s != d
+        s, d = s[keep], d[keep]
+        src_f[kept : kept + s.size] = s
+        dst_f[kept : kept + d.size] = d
+        kept += s.size
+    src_f.flush(); dst_f.flush()
+    del src_f, dst_f
+    for p in (path + ".src", path + ".dst"):
+        with open(p, "r+b") as fh:
+            fh.truncate(4 * kept)
+    return (
+        np.memmap(path + ".src", dtype=np.int32, mode="r"),
+        np.memmap(path + ".dst", dtype=np.int32, mode="r"),
+        n,
+    )
+
+
+def csr_from_edges_disk(
+    src,
+    dst,
+    n: int,
+    path: str,
+    symmetric: bool = True,
+    chunk: int = 1 << 25,
+) -> sparse.csr_matrix:
+    """Build a canonical (sorted, deduplicated, unit-valued) CSR adjacency
+    from an on-disk edge list WITHOUT materializing it in memory.
+
+    Three bounded-memory passes over the edges: (A) per-row counts →
+    indptr; (B) counting-sort scatter of the column indices into a raw
+    memmap (both directions when ``symmetric``); (C) per-row-stripe sort +
+    dedup compacted into the final memmap.  The returned ``csr_matrix``
+    wraps the memmapped ``indices``/``data`` (page-cache-lazy), with an
+    in-memory int64 ``indptr`` — the exact input contract of
+    ``arrow_decomposition`` and its C++ core (ctypes reads pull pages on
+    demand).  Peak RSS is O(n + chunk), not O(nnz)."""
+
+    def directions(lo, hi):
+        s = np.asarray(src[lo:hi]).astype(np.int64)
+        d = np.asarray(dst[lo:hi]).astype(np.int64)
+        yield s, d
+        if symmetric:
+            yield d, s
+
+    m = src.shape[0]
+    counts = np.zeros(n, dtype=np.int64)
+    for lo in range(0, m, chunk):
+        for rows, _ in directions(lo, min(lo + chunk, m)):
+            counts += np.bincount(rows, minlength=n)
+    indptr_raw = np.concatenate(([0], np.cumsum(counts)))
+    total = int(indptr_raw[-1])
+
+    raw = np.memmap(path + ".rawidx", dtype=np.int32, mode="w+",
+                    shape=(total,))
+    cursor = indptr_raw[:-1].copy()
+    for lo in range(0, m, chunk):
+        for rows, cols in directions(lo, min(lo + chunk, m)):
+            order = np.argsort(rows, kind="stable")
+            rows_s, cols_s = rows[order], cols[order]
+            # Offset of each entry within its equal-row run.
+            boundary = np.flatnonzero(
+                np.r_[True, rows_s[1:] != rows_s[:-1]])
+            run_len = np.diff(np.r_[boundary, rows_s.size])
+            within = np.arange(rows_s.size, dtype=np.int64) - np.repeat(
+                boundary, run_len)
+            raw[cursor[rows_s] + within] = cols_s
+            cursor += np.bincount(rows, minlength=n)
+    raw.flush()
+
+    # Pass C: sort within rows, drop duplicates, compact.
+    final = np.memmap(path + ".indices", dtype=np.int32, mode="w+",
+                      shape=(total,))
+    new_counts = np.zeros(n, dtype=np.int64)
+    out_pos = 0
+    rows_per_stripe = max(1, chunk // max(1, total // max(n, 1)))
+    for r0 in range(0, n, rows_per_stripe):
+        r1 = min(r0 + rows_per_stripe, n)
+        lo, hi = int(indptr_raw[r0]), int(indptr_raw[r1])
+        if hi == lo:
+            continue
+        sub = np.asarray(raw[lo:hi], dtype=np.int64)
+        row_id = np.repeat(
+            np.arange(r0, r1, dtype=np.int64),
+            np.diff(indptr_raw[r0 : r1 + 1]).astype(np.int64),
+        )
+        key = (row_id - r0) * n + sub
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        keep = np.r_[True, key_s[1:] != key_s[:-1]]
+        kept_cols = (key_s[keep] % n).astype(np.int32)
+        kept_rows = row_id[order][keep]
+        final[out_pos : out_pos + kept_cols.size] = kept_cols
+        out_pos += kept_cols.size
+        new_counts[r0:r1] = np.bincount(
+            kept_rows - r0, minlength=r1 - r0)
+    final.flush()
+    del raw
+    import os
+
+    os.remove(path + ".rawidx")
+    with open(path + ".indices", "r+b") as fh:
+        fh.truncate(4 * out_pos)
+
+    data = np.memmap(path + ".data", dtype=np.float32, mode="w+",
+                     shape=(out_pos,))
+    for lo in range(0, out_pos, chunk):
+        data[lo : min(lo + chunk, out_pos)] = 1.0
+    data.flush()
+
+    indptr = np.concatenate(([0], np.cumsum(new_counts)))
+    if out_pos < np.iinfo(np.int32).max:
+        # scipy unifies indptr/indices index dtypes; an int64 indptr would
+        # force an int64 COPY of the memmapped indices (8 GB at 1B nnz).
+        indptr = indptr.astype(np.int32)
+    A = sparse.csr_matrix(
+        (
+            np.memmap(path + ".data", dtype=np.float32, mode="r"),
+            np.memmap(path + ".indices", dtype=np.int32, mode="r"),
+            indptr,
+        ),
+        shape=(n, n),
+    )
+    A.has_sorted_indices = True
+    A.has_canonical_format = True
+    return A
+
+
+def streamed_rmat_csr(
+    scale: int,
+    workdir: str,
+    edge_factor: int = 16,
+    seed: int | None = None,
+    symmetric: bool = True,
+    chunk_edges: int = 1 << 25,
+) -> sparse.csr_matrix:
+    """``rmat_graph`` at out-of-core scale: stream edges to ``workdir`` and
+    build the canonical CSR with memmap-backed indices/data.  Peak RSS is
+    O(n + chunk_edges) against the in-memory generator's O(scale-passes x
+    edges) (22 GB at scale 24)."""
+    import os
+
+    os.makedirs(workdir, exist_ok=True)
+    base = os.path.join(workdir, f"rmat{scale}")
+    src, dst, n = rmat_edges_to_disk(
+        scale, base, edge_factor=edge_factor, seed=seed,
+        chunk_edges=chunk_edges,
+    )
+    return csr_from_edges_disk(
+        src, dst, n, base, symmetric=symmetric, chunk=chunk_edges
+    )
+
+
 def rmat_graph(
     scale: int,
     edge_factor: int = 16,

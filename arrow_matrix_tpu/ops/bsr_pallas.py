@@ -1507,6 +1507,45 @@ ELL_NS_PER_SLOT = 2.2
 #: ELL, measured 52 ms).
 ELL_NS_PER_SLOT_BIG = 6.0
 ELL_SLOT_PAD_FACTOR = 1.25
+
+#: Measured slot-rate RAMP vs source rows (round-5, tools/probe_ell_rate.py,
+#: natural-order grids, fori-differenced): the physical source footprint is
+#: 512 B/row lane-padded, so a 202.5k-row source is already 104 MB —
+#: off-cache well below the 262k folding cliff. Anchors (rows, ns/slot):
+#: 40k 2.03, 90k 2.39, 202.5k 2.62, 302.5k 3.92 (490k measured 3.65,
+#: within relay noise of 302k — held flat), 1M+ ~6.0 (the roadNet-surrogate
+#: end-to-end rate, round 3). Selectors that price a gather-ELL alternative
+#: must use :func:`ell_slot_ns` with the REAL slot count
+#: (``formats.ell_cost_rows`` — R rounds up to the einsum minimum of 8, so
+#: low-degree rows carry 2x the nnz in slots and a flat nnz*1.25 underprices
+#: the grid family ~1.6x; that mispricing is exactly what made the windowed
+#: auto-gate rate near-cliff ELL "a wash" where it measures 1.8x slower).
+ELL_SLOT_NS_ANCHORS = (
+    (40_000, 2.0),
+    (90_000, 2.4),
+    (202_500, 2.63),
+    (302_500, 3.9),
+    (490_000, 3.9),
+    (1_048_576, 6.0),
+)
+
+
+def ell_slot_ns(n_rows: int) -> float:
+    """Gather-ELL ns/slot for a source of ``n_rows`` rows: log-linear
+    interpolation between the measured anchors (clamped at the ends)."""
+    import math
+
+    pts = ELL_SLOT_NS_ANCHORS
+    if n_rows <= pts[0][0]:
+        return pts[0][1]
+    if n_rows >= pts[-1][0]:
+        return pts[-1][1]
+    for (r0, v0), (r1, v1) in zip(pts, pts[1:]):
+        if n_rows <= r1:
+            t = (math.log(n_rows) - math.log(r0)) / (
+                math.log(r1) - math.log(r0))
+            return v0 + t * (v1 - v0)
+    return pts[-1][1]
 #: Pre-calibration estimate of the streaming kernel relative to the
 #: windowed kernel (stream re-fetches X per tile; windowed fetches each
 #: window ~once on banded operators).

@@ -73,14 +73,11 @@ def _windowed_gate(agg: sparse.csr_matrix, k_hint: int, build):
     import arrow_matrix_tpu.ops.bsr_pallas as _bp
     import arrow_matrix_tpu.ops.tiling as _tiling
     from arrow_matrix_tpu.ops.bsr_pallas import (
-        ELL_NS_PER_SLOT,
-        ELL_NS_PER_SLOT_BIG,
-        ELL_SLOT_PAD_FACTOR,
         BSR_STREAM_FALLBACK_FACTOR,
+        ell_slot_ns,
         tile_density_stats,
         windowed_tile_fraction,
     )
-    from arrow_matrix_tpu.ops.ell import FOLD_SOURCE_ROWS
     from arrow_matrix_tpu.ops.tiling import vmem_resident_bytes
 
     if _bp.BSR_WINDOW_NS_PER_TILE is None:
@@ -95,14 +92,15 @@ def _windowed_gate(agg: sparse.csr_matrix, k_hint: int, build):
     occ, nnz, _ = tile_density_stats(agg)
     if not _bp.bsr_smem_ok(occ):
         return None  # scalar-prefetch arrays would overflow SMEM
-    # Big sources fall off the gather plateau (ell.FOLD_SOURCE_ROWS);
-    # price the ELL alternative at the measured big-source rate there.
-    slot_ns = (
-        ELL_NS_PER_SLOT
-        if agg.shape[0] <= FOLD_SOURCE_ROWS
-        else ELL_NS_PER_SLOT_BIG
-    )
-    ell_ns = nnz * ELL_SLOT_PAD_FACTOR * slot_ns
+    # Price the ELL alternative by its REAL slot count (``ell_cost_rows`` —
+    # R rounds up to the einsum minimum of 8, so low-degree rows carry ~2x
+    # their nnz in slots) at the measured source-size-dependent rate (the
+    # physical source is 512 B/row lane-padded: near-cliff sources are
+    # off-cache well below the 262k folding boundary). The previous flat
+    # nnz*1.25*plateau pricing made grid-202k ELL look a wash where it
+    # measures 1.8x slower than windowed (round-5 recalibration,
+    # tools/probe_ell_rate.py).
+    ell_ns = min(ell_cost_rows(agg)) * ell_slot_ns(agg.shape[0])
     # Residual tiles always run on the streaming kernel inside
     # bsr_spmm_window; estimate its rate pre-calibration. As a selectable
     # ALTERNATIVE the stream kernel only competes once calibrated.

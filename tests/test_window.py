@@ -452,3 +452,33 @@ def test_window_bf16_state_pipeline():
     got = np.asarray(y[: A.shape[0]], dtype=np.float32)
     denom = max(np.abs(ref).max(), 1e-30)
     assert np.abs(got - ref).max() / denom < 1e-2
+
+
+def test_auto_gate_picks_windowed_on_natural_banded():
+    """Round-5 gate recalibration (VERDICT r4 item 3): a naturally banded
+    operator beyond the VMEM residency bound (grid-202k in natural order —
+    the 1.5D/PETSc baselines' own input, no RCM) must auto-select the
+    windowed kernel. The old flat nnz*1.25*plateau ELL pricing ignored both
+    the R>=8 slot rounding (grid rows: 4 nnz -> 8 slots) and the near-cliff
+    source-rate ramp, rating ELL a wash where it measures 1.8x slower
+    (tools/probe_ell_rate.py). Scattered families must stay unchanged."""
+    from arrow_matrix_tpu.io.generate import barabasi_albert, grid_graph
+    from arrow_matrix_tpu.ops.dispatch import maybe_windowed
+
+    assert maybe_windowed(grid_graph(450), 16) is not None
+    assert maybe_windowed(barabasi_albert(50_000, 4, seed=1), 16) is None
+
+
+def test_ell_slot_ns_curve():
+    """The measured slot-rate ramp: plateau below 40k rows, monotone
+    non-decreasing, big-source rate at 1M+."""
+    from arrow_matrix_tpu.ops.bsr_pallas import (
+        ELL_NS_PER_SLOT_BIG,
+        ell_slot_ns,
+    )
+
+    assert ell_slot_ns(1_000) == ell_slot_ns(40_000) == 2.0
+    rates = [ell_slot_ns(r) for r in
+             (40_000, 90_000, 202_500, 302_500, 1 << 20, 10 << 20)]
+    assert all(a <= b + 1e-12 for a, b in zip(rates, rates[1:]))
+    assert rates[-1] == ELL_NS_PER_SLOT_BIG
