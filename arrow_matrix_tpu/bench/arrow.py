@@ -149,7 +149,8 @@ def bench_spmm(
             step_fn = blocked_step
         elif mode == "auto":
             plan, step_fn = compile_single_chip(
-                decomposition, width, k_hint=features
+                decomposition, width, k_hint=features,
+                state_dtype=jnp.dtype(state_dtype),
             )
         else:
             plan = compile_local_plan(
@@ -195,7 +196,10 @@ def bench_spmm(
         xh[:, :features] = rng.random(
             (plan.padded_rows, features), dtype=np.float32
         )
-        x = jnp.asarray(xh)
+        # The single-chip iterated state honors the requested dtype too
+        # (bf16 halves every dense byte stream of the windowed step —
+        # measured ~2x, tools/probe_bf16_state.py).
+        x = jnp.asarray(xh).astype(jnp.dtype(state_dtype))
         jitted = jax.jit(step_fn)
         if profile:
             # Single chip has no comm phases: the whole step is the kernel.

@@ -256,6 +256,7 @@ def compile_single_chip(
     region_rows: int | None = None,
     matrix_dtype="auto",
     window_tiles: int | None = None,
+    state_dtype=None,
 ):
     """Compile the best single-chip executor and return ``(plan, step_fn)``.
 
@@ -273,6 +274,13 @@ def compile_single_chip(
     bfloat16 for the HBM-streaming windowed format when every value is
     exactly bf16-representable (bit-identical results, half the tile DMA —
     see :func:`arrow_matrix_tpu.ops.bsr_pallas.resolve_tile_dtype`).
+
+    ``state_dtype``: the ITERATION-state dtype the caller intends to run
+    (the plan itself is dtype-generic). Declaring bfloat16 here picks the
+    512-tile X window instead of the f32-regime 256 default when
+    ``window_tiles`` is not forced: halving the state itemsize halves the
+    VMEM double-buffer and the straddler residual shrinks, measured +3.8%
+    at grid-1M bf16 (round-4 sweep, tools/probe_bf16_window_size.py).
     """
     from arrow_matrix_tpu.io.graphio import as_csr
     from arrow_matrix_tpu.plan.compile import pad_permutation
@@ -282,6 +290,11 @@ def compile_single_chip(
         region_plan_from_merged,
         region_step,
     )
+
+    if window_tiles is None and state_dtype is not None and (
+        jnp.dtype(state_dtype) == jnp.bfloat16
+    ):
+        window_tiles = 512
 
     mats = [as_csr(d[0]) for d in decomposition]
     perms = [np.asarray(d[1], dtype=np.int64) for d in decomposition]

@@ -133,8 +133,10 @@ class ArrowSession:
             self._step = self._runner.step
         else:
             self.plan, step_fn = compile_single_chip(
-                decomposition, width, k_hint=features
+                decomposition, width, k_hint=features,
+                state_dtype=state_dtype,
             )
+            self._state_dtype = state_dtype
             self._device_plan = jax.device_put(self.plan)
             self._step_fn = step_fn
             jitted = jax.jit(step_fn)
@@ -191,7 +193,10 @@ class ArrowSession:
             Xp = np.zeros((n_pad, X.shape[1]), dtype=np.float32)
             Xp[: X.shape[0]] = X
             perm0 = np.asarray(self.plan.permutations[0])
-            self._x = jax.device_put(jnp.asarray(Xp[perm0]))
+            x = jnp.asarray(Xp[perm0])
+            if self._state_dtype is not None:
+                x = x.astype(self._state_dtype)
+            self._x = jax.device_put(x)
 
     def step(self) -> None:
         """One iteration X <- A X (reference: arrow_dec_mpi.py:283-307)."""

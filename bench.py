@@ -117,13 +117,20 @@ def make_timer(iterations, sync):
 
 
 def run_config(A, width, k, iterations, refine, time_step, blocks=None,
-               with_blocked=False, state_dtype="float32"):
+               with_blocked=False, state_dtype="float32", tune=False):
     """Decompose A, compile the best single-chip executor, time it, and
-    compare against host scipy.  Returns a result dict.
+    compare against host scipy.  Returns ``(result dict, decomposition,
+    width used)``.
 
     ``state_dtype="bfloat16"`` runs the iterated state in bf16 (one output
     rounding per step; every dense byte stream of the step halves — measured
-    2x on the windowed family, tools/probe_bf16_state.py)."""
+    2x on the windowed family, tools/probe_bf16_state.py).
+
+    ``tune=True`` lets the plan-time auto-tuner pick the width (and the
+    state-dtype-aware window size) instead of the hand-set default — the
+    compiler's choice is the number of record for the planar family
+    (plan/tune.py; the search early-stops when the merged-plan
+    normalization makes candidates identical)."""
     import jax.numpy as jnp
 
     from arrow_matrix_tpu.decomposition import arrow_decomposition
@@ -131,14 +138,26 @@ def run_config(A, width, k, iterations, refine, time_step, blocks=None,
     from arrow_matrix_tpu.parallel.region import RegionPlan
 
     rng = np.random.default_rng(0)
-    decomp = arrow_decomposition(
-        A, width, max_number_of_levels=100, block_diagonal=True, seed=2
-    )
-    nnz = sum(int(lvl.matrix.nnz) for lvl in decomp)
+    sdt = jnp.bfloat16 if state_dtype == "bfloat16" else None
+    tuned = None
+    if tune:
+        from arrow_matrix_tpu.plan.tune import tune_single_chip
 
-    plan, step_fn = compile_single_chip(
-        decomp, width, n_blocks=blocks, k_hint=k, refine=refine
-    )
+        tr = tune_single_chip(A, k, state_dtype=sdt, base_width=width)
+        decomp, plan, step_fn, width = (
+            tr.decomposition, tr.plan, tr.step_fn, tr.width)
+        tuned = tr
+        nnz = sum(int(lvl.matrix.nnz) for lvl in decomp)
+    else:
+        decomp = arrow_decomposition(
+            A, width, max_number_of_levels=100, block_diagonal=True, seed=2
+        )
+        nnz = sum(int(lvl.matrix.nnz) for lvl in decomp)
+
+        plan, step_fn = compile_single_chip(
+            decomp, width, n_blocks=blocks, k_hint=k, refine=refine,
+            state_dtype=sdt,
+        )
     if isinstance(plan, RegionPlan):
         executor = "region"
         cols = k
@@ -177,6 +196,13 @@ def run_config(A, width, k, iterations, refine, time_step, blocks=None,
     }
     if state_dtype != "float32":
         res["state_dtype"] = state_dtype
+    if tuned is not None:
+        res["width"] = int(width)
+        res["tuned"] = True
+        res["tune_normalized"] = bool(tuned.normalized)
+        lvl0 = plan.levels[0] if hasattr(plan, "levels") else None
+        if lvl0 is not None and lvl0.fmt == "window":
+            res["window_tiles"] = int(lvl0.mat.window_tiles)
     if with_blocked:
         from arrow_matrix_tpu.parallel.blocked import (
             blocked_step,
@@ -186,7 +212,7 @@ def run_config(A, width, k, iterations, refine, time_step, blocks=None,
         bplan = compile_blocked_plan(decomp, width, n_blocks=blocks, k_hint=k)
         xb = rng.random((bplan.n_blocks * bplan.width, k), dtype=np.float32)
         res["distributed_nnz_per_s"] = nnz / time_step(bplan, blocked_step, xb)
-    return res, decomp
+    return res, decomp, width
 
 
 def comm_volume_report(decomp, width, n, k, n_devices):
@@ -260,7 +286,7 @@ def main():
         # Single-config mode (kept for tools/ and ad-hoc sweeps).
         A, width = build_graph(args.graph, args.vertices, args.ba_neighbors,
                                args.width)
-        res, decomp = run_config(
+        res, decomp, width = run_config(
             A, width, args.features, args.iterations, args.refine, time_step,
             blocks=args.blocks, with_blocked=args.mode in ("blocked", "both"),
         )
@@ -294,11 +320,15 @@ def main():
         try:
             A, width = build_graph(graph, vertices, args.ba_neighbors,
                                    args.width)
-            res, decomp = run_config(
+            # The planar family records the TUNER's width/window choice
+            # (plan/tune.py); hand-set widths remain for the scattered and
+            # dense families where the search measured moot.
+            res, decomp, width = run_config(
                 A, width, k, args.iterations, args.refine, time_step,
                 with_blocked=(name == "ba-200k"
                               and args.mode in ("blocked", "both")),
                 state_dtype=state_dtype,
+                tune=(graph == "grid"),
             )
             configs[name] = res
             if name == "ba-200k":
