@@ -247,6 +247,63 @@ def local_plan_from_merged(
     )
 
 
+def windowed_merged_plan(
+    Bt,
+    cut: int,
+    padded_perms,
+    width: int,
+    q: int,
+    n: int,
+    k_hint: int = 16,
+    matrix_dtype="auto",
+    window_tiles: int | None = None,
+    min_padded: int = 0,
+) -> LocalArrowPlan | None:
+    """Windowed merged plan with the zero-copy state height, or None when
+    the calibrated gate rejects the operator.
+
+    The state lives at the window-padded height (rounded to the kernel's
+    program-group unit) so :func:`local_step`'s zero-copy fast path engages
+    (identity-padded permutations keep the layout contract).
+    ``min_padded`` forces a taller state — used by
+    :class:`~arrow_matrix_tpu.parallel.operator.ArrowOperator` to align the
+    forward and transpose plans on ONE state layout."""
+    from arrow_matrix_tpu.ops.bsr_pallas import (
+        resolve_tile_dtype,
+        window_padded_rows,
+    )
+    from arrow_matrix_tpu.ops.dispatch import maybe_windowed
+    from arrow_matrix_tpu.plan.compile import pad_permutation
+
+    wm = maybe_windowed(
+        Bt, k_hint, dtype=resolve_tile_dtype(matrix_dtype, Bt.data),
+        window_tiles=window_tiles,
+    )
+    if wm is None:
+        return None
+    unit = wm.inner.rows_per_program * wm.inner.tile_m
+    padded = max(min_padded, q * width, window_padded_rows(wm))
+    padded = -(-padded // unit) * unit
+    return LocalArrowPlan(
+        levels=(
+            LocalLevel(
+                mat=wm,
+                mat_sparse=None,
+                dst_to_src=None,
+                src_to_dst=None,
+                cut=cut,
+                fmt="window",
+            ),
+        ),
+        width=width,
+        n_rows=n,
+        padded_rows=padded,
+        permutations=tuple(
+            pad_permutation(p, padded) for p in padded_perms
+        ),
+    )
+
+
 def compile_single_chip(
     decomposition,
     width: int,
@@ -307,47 +364,17 @@ def compile_single_chip(
     Bt, padded_perms, applied = rcm_refine_merged(Bt, padded_perms, refine)
 
     if applied and cut > BSR_REGION_ROWS:
-        from arrow_matrix_tpu.ops.bsr_pallas import resolve_tile_dtype
-        from arrow_matrix_tpu.ops.dispatch import maybe_windowed
-
         # Once the windowed kernel is calibrated it supersedes the region
         # executor on banded operators (single launch, no region copies, no
         # partial-sum traffic). Probe the gate directly — building a full
         # merged plan just to inspect its chosen format would pay the whole
         # format build (windowed pack + ELL chunking over the merged nnz)
         # even when the region executor wins.
-        wm = maybe_windowed(
-            Bt, k_hint, dtype=resolve_tile_dtype(matrix_dtype, Bt.data),
-            window_tiles=window_tiles,
+        plan = windowed_merged_plan(
+            Bt, cut, padded_perms, width, q, n, k_hint=k_hint,
+            matrix_dtype=matrix_dtype, window_tiles=window_tiles,
         )
-        if wm is not None:
-            from arrow_matrix_tpu.ops.bsr_pallas import window_padded_rows
-
-            # State lives at the window-padded height (rounded to the
-            # kernel's program-group unit) so local_step's zero-copy fast
-            # path engages (identity-padded permutations keep the layout
-            # contract).
-            unit = wm.inner.rows_per_program * wm.inner.tile_m
-            padded = max(q * width, window_padded_rows(wm))
-            padded = -(-padded // unit) * unit
-            plan = LocalArrowPlan(
-                levels=(
-                    LocalLevel(
-                        mat=wm,
-                        mat_sparse=None,
-                        dst_to_src=None,
-                        src_to_dst=None,
-                        cut=cut,
-                        fmt="window",
-                    ),
-                ),
-                width=width,
-                n_rows=n,
-                padded_rows=padded,
-                permutations=tuple(
-                    pad_permutation(p, padded) for p in padded_perms
-                ),
-            )
+        if plan is not None:
             return plan, local_step
         plan = region_plan_from_merged(
             Bt, cut, padded_perms, width, q, n,

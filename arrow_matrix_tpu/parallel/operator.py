@@ -92,9 +92,16 @@ class ArrowOperator:
         block_diagonal: bool = True,
         k_hint: int = 16,
         refine: str = "auto",
+        state_dtype=None,
     ):
+        """:param state_dtype: propagation-state dtype; ``jnp.bfloat16``
+        halves every dense byte stream of both directions (measured ~2x on
+        the windowed family) and the gradients ride the same dtype through
+        the custom VJP. Also selects the bf16-regime 512-tile X window.
+        ``distribute`` casts into it; default float32."""
         self.width = width
         self.n_devices = n_devices or len(jax.devices())
+        self.state_dtype = state_dtype
         mats = [as_csr(d[0]) for d in decomposition]
         self.n_rows = mats[0].shape[0]
 
@@ -109,8 +116,9 @@ class ArrowOperator:
                 block_diagonal=block_diagonal, k_hint=k_hint,
             )
             mesh = block_mesh(q)
-            self._fwd = ArrowSpmm(plan_f, mesh)
-            self._bwd = ArrowSpmm(plan_b, mesh)
+            kw = {} if state_dtype is None else {"state_dtype": state_dtype}
+            self._fwd = ArrowSpmm(plan_f, mesh, **kw)
+            self._bwd = ArrowSpmm(plan_b, mesh, **kw)
             step_f, step_b = self._fwd.step, self._bwd.step
         else:
             perms = [np.asarray(d[1], dtype=np.int64) for d in decomposition]
@@ -119,12 +127,8 @@ class ArrowOperator:
             inv0 = np.argsort(padded_perms[0])
             Bt, cut = merge_levels_to_matrix(mats, padded_perms, inv0, width, q)
             Bt, padded_perms, _ = rcm_refine_merged(Bt, padded_perms, refine)
-            plan_f = local_plan_from_merged(
-                Bt, cut, padded_perms, width, q, self.n_rows, k_hint=k_hint
-            )
-            plan_b = local_plan_from_merged(
-                Bt.T.tocsr(), cut, padded_perms, width, q, self.n_rows,
-                k_hint=k_hint,
+            plan_f, plan_b = self._compile_pair(
+                Bt, cut, padded_perms, q, k_hint, state_dtype
             )
             dpf, dpb = jax.device_put(plan_f), jax.device_put(plan_b)
             jf, jb = jax.jit(local_step), jax.jit(local_step)
@@ -136,22 +140,72 @@ class ArrowOperator:
             # arrays as HLO constants (the relay's compile endpoint
             # rejects such programs with HTTP 413).
             self.device_plan_f, self.device_plan_b = dpf, dpb
-            self._perm0 = np.asarray(padded_perms[0])
+            # The windowed pair re-pads the permutations to the shared
+            # zero-copy state height — read the layout off the PLAN.
+            self._perm0 = np.asarray(plan_f.permutations[0])
             self._padded_rows = plan_f.padded_rows
             self._fwd = self._bwd = None
 
         self.apply, self.apply_t = _linear_pair(step_f, step_b)
 
+    def _compile_pair(self, Bt, cut, padded_perms, q, k_hint, state_dtype):
+        """Compile forward + transpose merged plans on ONE shared state
+        layout. Both directions get the windowed zero-copy treatment when
+        the calibrated gate accepts BOTH (the transpose of an RCM-banded
+        operator is banded with the same profile); the padded heights are
+        aligned so the custom-VJP cotangent rides the forward layout
+        unchanged. Falls back to the generic merged plans otherwise."""
+        from arrow_matrix_tpu.parallel.local import windowed_merged_plan
+
+        wt = (
+            512
+            if state_dtype is not None
+            and jnp.dtype(state_dtype) == jnp.bfloat16
+            else None
+        )
+        BtT = Bt.T.tocsr()
+        wf = windowed_merged_plan(
+            Bt, cut, padded_perms, self.width, q, self.n_rows,
+            k_hint=k_hint, window_tiles=wt,
+        )
+        if wf is not None:
+            wb = windowed_merged_plan(
+                BtT, cut, padded_perms, self.width, q, self.n_rows,
+                k_hint=k_hint, window_tiles=wt,
+                min_padded=wf.padded_rows,
+            )
+            if wb is not None:
+                if wb.padded_rows > wf.padded_rows:
+                    wf = windowed_merged_plan(
+                        Bt, cut, padded_perms, self.width, q, self.n_rows,
+                        k_hint=k_hint, window_tiles=wt,
+                        min_padded=wb.padded_rows,
+                    )
+                assert wf.padded_rows == wb.padded_rows
+                return wf, wb
+        plan_f = local_plan_from_merged(
+            Bt, cut, padded_perms, self.width, q, self.n_rows, k_hint=k_hint
+        )
+        plan_b = local_plan_from_merged(
+            BtT, cut, padded_perms, self.width, q, self.n_rows,
+            k_hint=k_hint,
+        )
+        return plan_f, plan_b
+
     # -------------------------------------------------------------- data
 
     def distribute(self, X: np.ndarray):
-        """(n, k) host features -> device state."""
+        """(n, k) host features -> device state (cast to ``state_dtype``
+        when the operator declares one)."""
         if self._fwd is not None:
             return self._fwd.distribute(X)
         X = np.asarray(X, dtype=np.float32)
         Xp = np.zeros((self._padded_rows, X.shape[1]), dtype=np.float32)
         Xp[: X.shape[0]] = X
-        return jnp.asarray(Xp[self._perm0])
+        x = jnp.asarray(Xp[self._perm0])
+        if self.state_dtype is not None:
+            x = x.astype(self.state_dtype)
+        return x
 
     def collect(self, x) -> np.ndarray:
         """Device state -> (n, k) host features in original row order."""

@@ -10,7 +10,9 @@ import sys
 import pytest
 
 
-@pytest.mark.timeout(300)
+# Hang protection comes from the communicate(timeout=...) calls below —
+# pytest-timeout is not installed, so a @pytest.mark.timeout would be an
+# inert unknown mark (PytestUnknownMarkWarning), not a guard.
 @pytest.mark.parametrize("nproc,port", [(2, "12431"), (4, "12437")])
 def test_multi_process_global_mesh(nproc, port):
     worker = os.path.join(os.path.dirname(__file__), "helpers", "multihost_worker.py")
