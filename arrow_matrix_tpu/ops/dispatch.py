@@ -99,8 +99,10 @@ def _windowed_gate(agg: sparse.csr_matrix, k_hint: int, build):
     # off-cache well below the 262k folding boundary). The previous flat
     # nnz*1.25*plateau pricing made grid-202k ELL look a wash where it
     # measures 1.8x slower than windowed (round-5 recalibration,
-    # tools/probe_ell_rate.py).
-    ell_ns = min(ell_cost_rows(agg)) * ell_slot_ns(agg.shape[0])
+    # tools/probe_ell_rate.py). The gather SOURCE is the X operand —
+    # agg.shape[1] rows (for the stacked-role aggregate shape[0] is q x
+    # the per-device height, which would overprice the per-device gather).
+    ell_ns = min(ell_cost_rows(agg)) * ell_slot_ns(agg.shape[1])
     # Residual tiles always run on the streaming kernel inside
     # bsr_spmm_window; estimate its rate pre-calibration. As a selectable
     # ALTERNATIVE the stream kernel only competes once calibrated.

@@ -258,6 +258,7 @@ def windowed_merged_plan(
     matrix_dtype="auto",
     window_tiles: int | None = None,
     min_padded: int = 0,
+    wm=None,
 ) -> LocalArrowPlan | None:
     """Windowed merged plan with the zero-copy state height, or None when
     the calibrated gate rejects the operator.
@@ -267,7 +268,9 @@ def windowed_merged_plan(
     (identity-padded permutations keep the layout contract).
     ``min_padded`` forces a taller state — used by
     :class:`~arrow_matrix_tpu.parallel.operator.ArrowOperator` to align the
-    forward and transpose plans on ONE state layout."""
+    forward and transpose plans on ONE state layout. ``wm`` passes an
+    already-built windowed format (skips the gate probe and the pack — the
+    pack does not depend on the padding)."""
     from arrow_matrix_tpu.ops.bsr_pallas import (
         resolve_tile_dtype,
         window_padded_rows,
@@ -275,10 +278,11 @@ def windowed_merged_plan(
     from arrow_matrix_tpu.ops.dispatch import maybe_windowed
     from arrow_matrix_tpu.plan.compile import pad_permutation
 
-    wm = maybe_windowed(
-        Bt, k_hint, dtype=resolve_tile_dtype(matrix_dtype, Bt.data),
-        window_tiles=window_tiles,
-    )
+    if wm is None:
+        wm = maybe_windowed(
+            Bt, k_hint, dtype=resolve_tile_dtype(matrix_dtype, Bt.data),
+            window_tiles=window_tiles,
+        )
     if wm is None:
         return None
     unit = wm.inner.rows_per_program * wm.inner.tile_m

@@ -175,14 +175,29 @@ class ArrowOperator:
                 min_padded=wf.padded_rows,
             )
             if wb is not None:
-                if wb.padded_rows > wf.padded_rows:
+                # Align the two padded heights. Rounding to each side's
+                # program-group unit can overshoot when the units differ
+                # (the transpose's row-tile density profile picks its own
+                # rows_per_program) — iterate to the fixed point, reusing
+                # the built formats (padding is independent of the pack).
+                for _ in range(4):
+                    if wf.padded_rows == wb.padded_rows:
+                        return wf, wb
+                    h = max(wf.padded_rows, wb.padded_rows)
                     wf = windowed_merged_plan(
                         Bt, cut, padded_perms, self.width, q, self.n_rows,
-                        k_hint=k_hint, window_tiles=wt,
-                        min_padded=wb.padded_rows,
+                        k_hint=k_hint, min_padded=h,
+                        wm=wf.levels[0].mat,
                     )
-                assert wf.padded_rows == wb.padded_rows
-                return wf, wb
+                    wb = windowed_merged_plan(
+                        BtT, cut, padded_perms, self.width, q, self.n_rows,
+                        k_hint=k_hint, min_padded=h,
+                        wm=wb.levels[0].mat,
+                    )
+                if wf.padded_rows == wb.padded_rows:
+                    return wf, wb
+                # Units never converged (co-prime program groups) — fall
+                # back to the generic merged pair rather than crash.
         plan_f = local_plan_from_merged(
             Bt, cut, padded_perms, self.width, q, self.n_rows, k_hint=k_hint
         )

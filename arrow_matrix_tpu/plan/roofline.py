@@ -132,9 +132,9 @@ def step_bytes(plan, k: int, state_dtype="float32") -> dict:
     :class:`LocalArrowPlan`, by component. ``k`` is accepted for interface
     symmetry; physical row bytes are k-independent at k <= 128."""
     del k
-    itemsize = np.dtype(
-        np.float32 if str(state_dtype) == "float32" else np.uint16
-    ).itemsize
+    # Any bf16 spelling (string, jnp.bfloat16, np.dtype) -> 2 bytes;
+    # everything else is the f32 default.
+    itemsize = 2 if "bfloat16" in str(state_dtype) else 4
     H = plan.padded_rows
     levels = []
     total = 0
@@ -184,16 +184,15 @@ def model_step_ns(plan, k: int, state_dtype="float32") -> float:
                 + _prog_count(lvl.mat) * BSR_NS_PER_PROGRAM
             )
         else:
-            mats = [lvl.mat] if lvl.fmt == "ell" else [lvl.mat]
+            m = lvl.mat
             if lvl.fmt == "hybrid":
-                mats = [lvl.mat_sparse]
+                m = lvl.mat_sparse
                 op_ns += (
                     _tile_count(lvl.mat) * _bp.BSR_NS_PER_TILE
                     + _prog_count(lvl.mat) * BSR_NS_PER_PROGRAM
                 )
-            for m in mats:
-                slots = int(np.asarray(_ell_inner(m).idx).size)
-                op_ns += slots * ell_slot_ns(plan.padded_rows)
+            slots = int(np.asarray(_ell_inner(m).idx).size)
+            op_ns += slots * ell_slot_ns(plan.padded_rows)
     return max(byte_ns, op_ns)
 
 

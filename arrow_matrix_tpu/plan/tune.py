@@ -40,7 +40,7 @@ def plan_signature(plan) -> tuple:
     )
 
     if isinstance(plan, RegionPlan):
-        return ("region", plan.padded_rows, len(plan.parts))
+        return ("region", plan.padded_rows, len(plan.stripes))
     sig = ["local", plan.padded_rows]
     for lvl in plan.levels:
         if lvl.fmt == "window":
@@ -94,6 +94,7 @@ def tune_single_chip(
     seed: int = 2,
     max_levels: int = 100,
     early_stop: bool = True,
+    refine: str = "auto",
 ) -> TuneResult:
     """Decompose/compile candidate widths and return the model-best plan.
 
@@ -119,7 +120,7 @@ def tune_single_chip(
             block_diagonal=True, seed=seed,
         )
         plan, step_fn = compile_single_chip(
-            decomp, width, k_hint=k, state_dtype=state_dtype,
+            decomp, width, k_hint=k, state_dtype=state_dtype, refine=refine,
         )
         sig = plan_signature(plan)
         try:

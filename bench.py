@@ -140,10 +140,13 @@ def run_config(A, width, k, iterations, refine, time_step, blocks=None,
     rng = np.random.default_rng(0)
     sdt = jnp.bfloat16 if state_dtype == "bfloat16" else None
     tuned = None
-    if tune:
+    # An explicit --blocks pins the plan shape — the width search would
+    # silently override it, so tuning only applies without it.
+    if tune and blocks is None:
         from arrow_matrix_tpu.plan.tune import tune_single_chip
 
-        tr = tune_single_chip(A, k, state_dtype=sdt, base_width=width)
+        tr = tune_single_chip(A, k, state_dtype=sdt, base_width=width,
+                              refine=refine)
         decomp, plan, step_fn, width = (
             tr.decomposition, tr.plan, tr.step_fn, tr.width)
         tuned = tr

@@ -22,6 +22,7 @@ import numpy as np
 from arrow_matrix_tpu.decomposition import arrow_decomposition
 from arrow_matrix_tpu.io.generate import barabasi_albert
 from arrow_matrix_tpu.ops.bsr_pallas import (
+    BSR_NS_PER_TILE,
     BSR_STREAM_NS_PER_TILE,
     BSR_WINDOW_NS_PER_TILE,
     BsrMat,
@@ -29,6 +30,7 @@ from arrow_matrix_tpu.ops.bsr_pallas import (
     ell_slot_ns,
 )
 from arrow_matrix_tpu.parallel.blocked import compile_blocked_plan
+from arrow_matrix_tpu.plan.roofline import BSR_NS_PER_PROGRAM
 
 MEASURED_MS = {200_000: 10.52, 1_000_000: 103.4}
 
@@ -51,7 +53,10 @@ def part_ns(m, source_rows: int) -> float:
             ns += _tiles(m.residual) * (BSR_STREAM_NS_PER_TILE or 320.0)
         return ns
     if isinstance(m, BsrMat):
-        return _tiles(m) * 111.0 + _tiles(m) / max(1, m.tiles_per_program) * 312.0
+        return (
+            _tiles(m) * BSR_NS_PER_TILE
+            + _tiles(m) / max(1, m.tiles_per_program) * BSR_NS_PER_PROGRAM
+        )
     if isinstance(m, SumMat):
         return sum(part_ns(p, source_rows) for p in m.parts)
     if isinstance(m, (CompactEll, PackedEll)) or hasattr(m, "idx") or hasattr(m, "inner"):
@@ -87,9 +92,9 @@ def main():
                     work_ns += part_ns(part, src_rows)
             # Per-level window materialization + assembly gathers: ~3
             # width-rows of plateau-rate gather per level (same accounting
-            # as the mesh projection's routing term).
-            if getattr(lvl, "route", None) is not None or True:
-                work_ns += 3 * plan.width * ell_slot_ns(plan.width)
+            # as the mesh projection's routing term; the blocked executor
+            # materializes windows on EVERY level, so no route guard).
+            work_ns += 3 * plan.width * ell_slot_ns(plan.width)
         measured_ms = MEASURED_MS.get(n)
         row = {
             "n": n,
