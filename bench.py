@@ -218,6 +218,40 @@ def run_config(A, width, k, iterations, refine, time_step, blocks=None,
     return res, decomp, width
 
 
+def operator_config(time_step, k=16):
+    """Forward/backward throughput of the differentiable operator on the
+    planar family (grid-202k) — the training path the reference has no
+    analogue for. Both directions ride the windowed zero-copy pair on one
+    aligned state layout; bf16 halves every dense byte stream of both."""
+    import jax.numpy as jnp
+
+    from arrow_matrix_tpu.decomposition import arrow_decomposition
+    from arrow_matrix_tpu.io.generate import grid_graph
+    from arrow_matrix_tpu.parallel.local import local_step
+    from arrow_matrix_tpu.parallel.operator import ArrowOperator
+
+    A = grid_graph(450)
+    width = A.shape[0] // 8 + 1
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=True, seed=2
+    )
+    nnz = sum(int(lvl.matrix.nnz) for lvl in decomp)
+    res = {"nnz": nnz, "k": k}
+    rng = np.random.default_rng(0)
+    for name, sdt in (("f32", None), ("bf16", jnp.bfloat16)):
+        op = ArrowOperator(decomp, width, n_devices=1, k_hint=k,
+                           state_dtype=sdt)
+        cols = 128 if op.device_plan_f.levels[0].fmt == "window" else k
+        xh = np.zeros((A.shape[0], cols), np.float32)
+        xh[:, :k] = rng.random((A.shape[0], k), dtype=np.float32)
+        xs = op.distribute(xh)
+        res[f"fwd_{name}_nnz_per_s"] = nnz / time_step(
+            op.device_plan_f, local_step, xs)
+        res[f"bwd_{name}_nnz_per_s"] = nnz / time_step(
+            op.device_plan_b, local_step, xs)
+    return res
+
+
 def comm_volume_report(decomp, width, n, k, n_devices):
     """Exact per-device bytes/iteration from the compiled plans (the
     reference's headline comparison, README.md:3) — host-side only."""
@@ -344,6 +378,14 @@ def main():
                     comm[name] = {"error": str(e)}
         except Exception as e:  # noqa: BLE001 — one config must not kill the basket
             configs[name] = {"error": str(e)}
+
+    # The differentiable operator (training path — no reference analogue):
+    # fwd/bwd of the windowed pair on the planar family, f32 + bf16.
+    if "operator" not in skip:
+        try:
+            configs["operator-grid-202k"] = operator_config(time_step)
+        except Exception as e:  # noqa: BLE001
+            configs["operator-grid-202k"] = {"error": str(e)}
 
     out = {
         "metric": "arrow_spmm_nnz_per_s_per_chip",
