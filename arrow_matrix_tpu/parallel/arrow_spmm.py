@@ -241,6 +241,39 @@ def _route_backward(
     )
 
 
+def state_from_host(plan: ArrowPlan, X: np.ndarray) -> np.ndarray:
+    """Host (n, k) original order -> (q*(w_q+width), k) device-major state
+    of the slim sharded-head layout: per device [block-0 shard ; block j]
+    (zeros on device 0's block slot). Shared by the distributed runner and
+    the single-chip SPMD emulation (parallel/emulate.py)."""
+    q, w = plan.n_blocks, plan.width
+    w_q = -(-w // q)
+    k = X.shape[1]
+    Xp = np.zeros((plan.padded_rows, k), dtype=np.float32)
+    Xp[: X.shape[0]] = X
+    x0 = Xp[np.asarray(plan.permutations[0])]
+    shards = np.zeros((q * w_q, k), dtype=np.float32)
+    shards[:w] = x0[:w]
+    state = np.zeros((q, w_q + w, k), dtype=np.float32)
+    state[:, :w_q] = shards.reshape(q, w_q, k)
+    state[1:, w_q:] = x0[w:].reshape(q - 1, w, k)
+    return state.reshape(q * (w_q + w), k)
+
+
+def state_to_host(plan: ArrowPlan, state: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`state_from_host` (drops padding rows)."""
+    q, w = plan.n_blocks, plan.width
+    w_q = -(-w // q)
+    k = state.shape[-1]
+    s = np.asarray(state).reshape(q, w_q + w, k)
+    x0 = np.concatenate(
+        [s[:, :w_q].reshape(q * w_q, k)[:w], s[1:, w_q:].reshape((q - 1) * w, k)],
+        axis=0,
+    )
+    inv = np.argsort(np.asarray(plan.permutations[0]))
+    return x0[inv][: plan.n_rows]
+
+
 class ArrowSpmm:
     """Runner for a compiled :class:`ArrowPlan` on a block mesh.
 
@@ -478,32 +511,10 @@ class ArrowSpmm:
     # ------------------------------------------------------------------ I/O
 
     def _to_state(self, X: np.ndarray) -> np.ndarray:
-        """Host (n, k) original order -> (q*(w_q+width), k) device-major
-        state: per device [block-0 shard ; block j] (zeros on device 0's
-        block slot)."""
-        q, w, w_q = self.plan.n_blocks, self.plan.width, self.w_q
-        k = X.shape[1]
-        n_pad = self.plan.padded_rows
-        Xp = np.zeros((n_pad, k), dtype=np.float32)
-        Xp[: X.shape[0]] = X
-        x0 = Xp[np.asarray(self.plan.permutations[0])]
-        shards = np.zeros((q * w_q, k), dtype=np.float32)
-        shards[:w] = x0[:w]
-        state = np.zeros((q, w_q + w, k), dtype=np.float32)
-        state[:, :w_q] = shards.reshape(q, w_q, k)
-        state[1:, w_q:] = x0[w:].reshape(q - 1, w, k)
-        return state.reshape(q * (w_q + w), k)
+        return state_from_host(self.plan, X)
 
     def _from_state(self, state: np.ndarray) -> np.ndarray:
-        q, w, w_q = self.plan.n_blocks, self.plan.width, self.w_q
-        k = state.shape[1]
-        s = state.reshape(q, w_q + w, k)
-        x0 = np.concatenate(
-            [s[:, :w_q].reshape(q * w_q, k)[:w], s[1:, w_q:].reshape((q - 1) * w, k)],
-            axis=0,
-        )
-        inv = np.argsort(np.asarray(self.plan.permutations[0]))
-        return x0[inv][: self.plan.n_rows]
+        return state_to_host(self.plan, state)
 
     def distribute(self, X: np.ndarray):
         """Host (n, k) features in original order -> device-sharded state

@@ -57,7 +57,7 @@ def test_bench_basket_mode(monkeypatch):
     monkeypatch.setattr(
         sys, "argv",
         ["bench.py", "--iterations", "3", "--width", "300",
-         "--comm-volume", "4"],
+         "--comm-volume", "4", "--skip", "operator"],
     )
     buf = io.StringIO()
     with redirect_stdout(buf):
