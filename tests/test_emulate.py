@@ -20,7 +20,8 @@ from arrow_matrix_tpu.plan import compile_plan
 
 
 def _golden_check(A, width, block_diagonal, q=8, k=16, iters=3,
-                  routing="auto", state_dtype=jnp.float32, rtol=2e-4):
+                  routing="auto", state_dtype=jnp.float32, rtol=2e-4,
+                  batch="scan"):
     dec = arrow_decomposition(
         A, arrow_width=width, max_number_of_levels=6,
         block_diagonal=block_diagonal,
@@ -28,7 +29,7 @@ def _golden_check(A, width, block_diagonal, q=8, k=16, iters=3,
     plan = compile_plan(
         dec, width, q, block_diagonal=block_diagonal, routing=routing
     )
-    emu = EmulatedSpmm(plan, state_dtype=state_dtype)
+    emu = EmulatedSpmm(plan, state_dtype=state_dtype, batch=batch)
     X = random_dense(A.shape[0], k, seed=42)
     xs = emu.distribute(X)
     ref = X.copy()
@@ -44,27 +45,32 @@ def _golden_check(A, width, block_diagonal, q=8, k=16, iters=3,
     return plan, emu
 
 
-def test_ba_block_diagonal_matches_host():
+@pytest.mark.parametrize("batch", ["scan", "vmap"])
+def test_ba_block_diagonal_matches_host(batch):
     """Power-law graph, gather-ELL stacked roles, all_to_all routing."""
     A = barabasi_albert(3000, 3, seed=1)
-    _golden_check(A, 384, block_diagonal=True)
+    _golden_check(A, 384, block_diagonal=True, batch=batch)
 
 
-def test_grid_banded_matches_host():
+@pytest.mark.parametrize("batch", ["scan", "unroll", "vmap"])
+def test_grid_banded_matches_host(batch):
     """Planar graph, banded halo + CompactEll/Bsr stacked roles."""
     A = grid_graph(56)
-    _golden_check(A, 512, block_diagonal=False)
+    _golden_check(A, 512, block_diagonal=False, batch=batch)
 
 
-def test_rounds_routing_matches_host():
+@pytest.mark.parametrize("batch", ["scan", "vmap"])
+def test_rounds_routing_matches_host(batch):
     """Round-decomposed ppermute exchange (static partial permutations)."""
     A = barabasi_albert(3000, 3, seed=2)
-    _golden_check(A, 384, block_diagonal=True, routing="rounds")
+    _golden_check(A, 384, block_diagonal=True, routing="rounds", batch=batch)
 
 
-def test_bf16_state_matches_host():
+@pytest.mark.parametrize("batch", ["scan", "vmap"])
+def test_bf16_state_matches_host(batch):
     A = grid_graph(56)
-    _golden_check(A, 512, block_diagonal=False, state_dtype=jnp.bfloat16)
+    _golden_check(A, 512, block_diagonal=False, state_dtype=jnp.bfloat16,
+                  batch=batch)
 
 
 def test_emulated_matches_distributed_bitwise_close():
