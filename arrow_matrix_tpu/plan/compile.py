@@ -213,17 +213,38 @@ def extract_levels(
     O(level_nnz / q + n) instead of several copies of the full level
     (the reference's lazy block slices, arrow/common/graphio.py:409-495).
 
+    Materializes every level's raw CSR blocks at once; billion-nnz plans
+    should use :func:`iter_levels` (``compile_plan`` does), which yields one
+    level at a time so raw blocks are freed as soon as they are packed.
+
     :return: (list of :class:`RawLevel`, padded permutations, n_rows).
     :raises ValueError: if a level's nonzeros fall outside the arrow block
         structure (head panels + diagonal ± band) or need more blocks than
         devices.
     """
-    from arrow_matrix_tpu.io.graphio import (
-        csr_nnz,
-        load_row_stripe,
-        triplet_in_degrees,
+    gen, padded_perms, n = iter_levels(
+        decomposition, width, n_devices, block_diagonal,
+        routing_pad_multiple, routes, row_split,
     )
+    return list(gen), padded_perms, n
 
+
+def iter_levels(
+    decomposition: Sequence,
+    width: int,
+    n_devices: int,
+    block_diagonal: bool = True,
+    routing_pad_multiple: int = 8,
+    routes: tuple = ("classic", "sharded"),
+    row_split: int = 1,
+):
+    """Streaming variant of :func:`extract_levels`: returns
+    ``(generator of RawLevel, padded permutations, n_rows)``. The generator
+    extracts one level's blocks + routes per ``next()``, so a consumer that
+    packs each level before advancing holds at most ONE level's raw CSR
+    blocks alongside the packed output — the difference between the q=46
+    billion-nnz plan compiling and the measured >123 GB OOM of the
+    all-levels-at-once path (NOTES round-5 rehearsal)."""
     mats = [d[0] for d in decomposition]
     perms = [np.asarray(d[1], dtype=np.int64) for d in decomposition]
     n = _level_n_rows(mats[0])
@@ -242,15 +263,45 @@ def extract_levels(
         padded_perms.append(pad_permutation(p, n_pad))
     inv_perm0 = np.argsort(padded_perms[0])
 
-    levels = []
+    # Within-block row localization (deeper block-diagonal levels): reorder
+    # rows inside each block so the level->level-0 map is monotone per
+    # block; pi maps new position -> old position. Depends only on the
+    # permutations, so it is hoisted out of the generator — padded_perms is
+    # FINAL before the first level is extracted.
+    pis = [None] * len(mats)
+    for i in range(1, len(mats)):
+        if block_diagonal:
+            d2s = inv_perm0[padded_perms[i]]
+            order = np.argsort(d2s.reshape(-1, width), axis=1, kind="stable")
+            pi = (order + np.arange(0, n_pad, width)[:, None]).reshape(-1)
+            pis[i] = pi
+            padded_perms[i] = padded_perms[i][pi]
+
+    gen = _gen_levels(
+        mats, tuple(padded_perms), pis, inv_perm0, n, q, width, n_pad,
+        block_diagonal, routing_pad_multiple, routes, row_split,
+    )
+    return gen, tuple(padded_perms), n
+
+
+def _gen_levels(
+    mats, padded_perms, pis, inv_perm0, n, q, width, n_pad,
+    block_diagonal, routing_pad_multiple, routes, row_split,
+):
+    from arrow_matrix_tpu.io.graphio import (
+        csr_nnz,
+        load_row_stripe,
+        triplet_in_degrees,
+    )
+
     for i, B in enumerate(mats):
         n_i = _level_n_rows(B)
         if n_i != n:
             raise ValueError("all levels must share the vertex count")
 
         # Block count from streaming row/column occupancy (the localization
-        # below permutes rows only WITHIN their block, so counts by block
-        # are invariant; reference: arrow_dec_mpi.py:612-627).
+        # permutes rows only WITHIN their block, so counts by block are
+        # invariant; reference: arrow_dec_mpi.py:612-627).
         if isinstance(B, tuple):
             out_nnz = np.diff(np.asarray(B[2], dtype=np.int64))
         else:
@@ -262,17 +313,8 @@ def extract_levels(
         nonzero_rows = int(nz[-1]) + 1 if nz.size else 0
         q_i = min(max(1, -(-nonzero_rows // width)), q)
 
-        # Within-block row localization (deeper block-diagonal levels):
-        # reorder rows inside each block so the level->level-0 map is
-        # monotone per block; pi maps new position -> old position.
-        if i > 0 and block_diagonal:
-            d2s = inv_perm0[padded_perms[i]]
-            order = np.argsort(d2s.reshape(-1, width), axis=1, kind="stable")
-            pi = (order + np.arange(0, n_pad, width)[:, None]).reshape(-1)
-            inv_pi = np.argsort(pi)
-            padded_perms[i] = padded_perms[i][pi]
-        else:
-            pi = inv_pi = None
+        pi = pis[i]
+        inv_pi = np.argsort(pi) if pi is not None else None
 
         def stripe_blocks(j, wanted_cols):
             """Materialize stripe j (localized if pi is set) and slice it
@@ -373,20 +415,16 @@ def extract_levels(
                 )
 
         banded = not block_diagonal
-        levels.append(
-            RawLevel(
-                head=head_blocks,
-                diag=diag_blocks,
-                col=col_blocks,
-                band_lo=lo_blocks if banded else None,
-                band_hi=hi_blocks if banded else None,
-                route=route,
-                route_sharded=route_sharded,
-                n_active_blocks=q_i,
-            )
+        yield RawLevel(
+            head=head_blocks,
+            diag=diag_blocks,
+            col=col_blocks,
+            band_lo=lo_blocks if banded else None,
+            band_hi=hi_blocks if banded else None,
+            route=route,
+            route_sharded=route_sharded,
+            n_active_blocks=q_i,
         )
-
-    return levels, tuple(padded_perms), n
 
 
 def compile_plan(
@@ -430,7 +468,11 @@ def compile_plan(
         raise ValueError(
             f"width {width} not divisible by row_split {row_split}"
         )
-    raw_levels, padded_perms, n = extract_levels(
+    # Streaming: each level's raw CSR blocks are packed into their device
+    # formats and FREED before the next level is extracted (iter_levels) —
+    # peak host memory is one level's blocks + the packed plan, not every
+    # level's blocks at once.
+    raw_levels, padded_perms, n = iter_levels(
         decomposition, width, n_devices, block_diagonal, routing_pad_multiple,
         routes=("sharded",), row_split=row_split,
     )
@@ -494,7 +536,10 @@ def compile_plan(
         return rr if round_exchange_padded_rows(rr) <= 0.9 * a2a else rt
 
     levels = []
-    for raw in raw_levels:
+    while True:
+        raw = next(raw_levels, None)
+        if raw is None:
+            break
         levels.append(
             LevelPlan(
                 head=build_role(split_rows(raw.head)),
@@ -514,6 +559,9 @@ def compile_plan(
                 n_active_blocks=raw.n_active_blocks,
             )
         )
+        # Drop this level's raw CSR blocks BEFORE extracting the next level
+        # (a for-loop would keep them alive through the next next()).
+        del raw
 
     return ArrowPlan(
         levels=tuple(levels),

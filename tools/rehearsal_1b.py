@@ -15,7 +15,9 @@ The reference's Julia rewrite exists exactly for this scale
 scripts/decomposition_main.py:123 — rows/width ~45, reproduced here:
 2^25 = 33.6M rows / width 730k -> q = 46).
 
-Usage: python tools/rehearsal_1b.py [scale] [out_dir] [--no-compile]
+Usage: python tools/rehearsal_1b.py [scale] [out_dir] [--no-compile] [--keep]
+(``--keep`` leaves the saved decomposition on disk for follow-up
+per-level compiles, tools/compile_1b_level.py.)
 """
 
 import json
@@ -31,6 +33,7 @@ args = [a for a in sys.argv[1:] if not a.startswith("--")]
 SCALE = int(args[0]) if args else 25
 OUT = args[1] if len(args) > 1 else "/tmp/rehearsal1b"
 COMPILE = "--no-compile" not in sys.argv
+KEEP = "--keep" in sys.argv
 Q = 46  # production rows/width ratio (mawi: 226M rows / width 5M)
 
 
@@ -108,7 +111,8 @@ def main():
         2,
     )
     print(json.dumps(report), flush=True)
-    shutil.rmtree(OUT, ignore_errors=True)
+    if not KEEP:
+        shutil.rmtree(OUT, ignore_errors=True)
 
 
 if __name__ == "__main__":
