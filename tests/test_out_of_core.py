@@ -13,7 +13,7 @@ from arrow_matrix_tpu.decomposition import arrow_decomposition
 from arrow_matrix_tpu.io import graphio
 from arrow_matrix_tpu.io.generate import barabasi_albert, random_dense
 from arrow_matrix_tpu.plan import compile_plan
-from arrow_matrix_tpu.plan.compile import extract_levels
+from arrow_matrix_tpu.plan.compile import extract_levels, iter_levels
 
 
 def _plans_equal(a, b):
@@ -69,6 +69,39 @@ def test_streaming_peak_memory_bounded(tmp_path):
     tracemalloc.stop()
     assert len(raw[0]) == len(mm)
     assert peak < 2 * full_bytes, (peak, full_bytes)
+
+
+@pytest.mark.parametrize("block_diagonal", [True, False])
+def test_iter_levels_matches_extract_levels(tmp_path, block_diagonal):
+    """The streaming generator (compile_plan's path since round 5) yields
+    the SAME raw levels and FINAL permutations as the list variant — the
+    row-localization hoist must not change what the consumer sees."""
+    n, width, q = 500, 64, 8
+    A = barabasi_albert(n, 4, seed=9)
+    decomp = arrow_decomposition(
+        A, width, max_number_of_levels=100, block_diagonal=block_diagonal,
+        seed=2,
+    )
+    base = str(tmp_path / "s")
+    graphio.save_decomposition_new(A, decomp, base, block_diagonal=block_diagonal)
+    mm = graphio.load_decomposition_new(
+        base, width, block_diagonal=block_diagonal, mem_map=True
+    )
+    lv, perms, n1 = extract_levels(mm, width, q, block_diagonal=block_diagonal)
+    gen, perms2, n2 = iter_levels(mm, width, q, block_diagonal=block_diagonal)
+    # Permutations are final BEFORE the generator runs (hoisted localization).
+    assert n1 == n2
+    for a, b in zip(perms, perms2):
+        np.testing.assert_array_equal(a, b)
+    lv2 = list(gen)
+    assert len(lv) == len(lv2)
+    for a, b in zip(lv, lv2):
+        assert a.n_active_blocks == b.n_active_blocks
+        for role in ("head", "diag", "col", "band_lo", "band_hi"):
+            ra, rb = getattr(a, role), getattr(b, role)
+            assert (ra is None) == (rb is None)
+            for x, y in zip(ra or (), rb or ()):
+                assert (x != y).nnz == 0
 
 
 def test_triplet_plan_runs_end_to_end(tmp_path):
