@@ -22,13 +22,18 @@ the distributed program on one chip:
    tighter per-device estimate: the emulation executes every gather/assembly
    the SPMD program executes and skips exactly the ICI transfers.
 
-Two batching modes over the device axis:
+Three batching modes over the device axis:
 
 * ``batch="scan"`` (default): one ``lax.scan`` iteration per device — every
   per-device gather reads a BARRIERED (width, k)-sized source exactly like a
   real device does, so the gather engine stays on its small-source plateau
   (ops/ell.py FOLD_SOURCE_ROWS). All q devices' role kernels still live in
   ONE fused while loop (no per-part dispatch).
+* ``batch="unroll"``: the same per-device bodies, unrolled at trace time —
+  static format slices are views (no per-iteration dynamic-slice copy of
+  the format leaves), at the cost of a q-times larger program. Best for
+  the smaller plans (ba-200k 38.3 vs 43.4 ms, grid-202k 18.1 vs 19.5);
+  loses to scan at ba-1m (305 vs 238 ms) where program size wins.
 * ``batch="vmap"``: one batched launch per role per level. MEASURED NEGATIVE
   on TPU for gather-family plans: XLA lowers the batched ``take`` against
   the fused (q, width, k) operand as one big-source gather, which falls off
@@ -332,7 +337,8 @@ def emulated_step(plan: ArrowPlan, xs: jnp.ndarray, batch: str = "scan"):
     :param xs: (q, w_q + width, k) stacked device states (the distributed
         runner's flat state reshaped; see :class:`EmulatedSpmm`).
     :param batch: ``"scan"`` (per-device loop in one fused program, small
-        gather sources — default) or ``"vmap"`` (one batched launch per
+        gather sources — default), ``"unroll"`` (same bodies, trace-time
+        loop, no format-slice copies) or ``"vmap"`` (one batched launch per
         role; measured slow for gather-family plans, see module docstring).
     :return: (q, w_q + width, k) new stacked state, same dtype.
     """
