@@ -44,6 +44,7 @@ CONFIGS = {
     "ba-1m": ("ba", 1_000_000, 16, jnp.float32, 50.7, 103.4),
     "grid-202k": ("grid", 202_500, 16, jnp.float32, 1.05, None),
     "grid-202k-bf16": ("grid", 202_500, 16, jnp.bfloat16, 0.56, None),
+    "grid-1m": ("grid", 1_000_000, 16, jnp.float32, 5.54, None),
 }
 
 

@@ -90,6 +90,7 @@ EMULATED_Q8_MS = {
     ("ba", 200_000, 16): 38.3,      # unroll mode
     ("ba", 1_000_000, 16): 238.0,   # scan mode
     ("grid", 202_500, 16): 18.1,    # unroll mode
+    ("grid", 1_000_000, 16): 103.5, # scan mode
 }
 
 GRAPH = sys.argv[1] if len(sys.argv) > 1 else "ba"
