@@ -21,6 +21,8 @@ level, matching the reference's headline bound (reference: README.md:3).
 
 from __future__ import annotations
 
+import os
+import time
 from typing import Optional, Sequence
 
 import numpy as np
@@ -89,6 +91,27 @@ class ArrowPlan:
             for m in (lvl.head, lvl.diag, lvl.col, lvl.band_lo, lvl.band_hi):
                 total += format_nnz(m)
         return total
+
+
+_T0 = time.time()
+
+
+def _vlog(msg: str) -> None:
+    """Compile progress log, enabled by ARROW_COMPILE_VERBOSE=1: wall since
+    import + peak RSS per phase — the attribution tool for billion-nnz
+    compiles (a 1.047B-nnz q=46 compile runs ~1 h; without phase logs an
+    OOM there is unattributable)."""
+    if os.environ.get("ARROW_COMPILE_VERBOSE", "") in ("", "0"):
+        return
+    import resource
+    import sys
+
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(
+        f"[compile +{time.time() - _T0:7.1f}s rss={rss:6.2f}GB] {msg}",
+        file=sys.stderr,
+        flush=True,
+    )
 
 
 def _empty_csr(w: int) -> sparse.csr_matrix:
@@ -389,6 +412,7 @@ def _gen_levels(
                 f"block structure (width {width}, block_diagonal={block_diagonal}); "
                 "re-decompose with a larger width or more levels"
             )
+        _vlog(f"level {i}: blocks extracted (nnz={level_nnz}, q_i={q_i})")
 
         route = None
         route_sharded = None
@@ -413,6 +437,8 @@ def _gen_levels(
                     pad_multiple=routing_pad_multiple,
                     row_split=row_split,
                 )
+        if i > 0:
+            _vlog(f"level {i}: route tables built")
 
         banded = not block_diagonal
         yield RawLevel(
@@ -535,23 +561,29 @@ def compile_plan(
         a2a = (D - 1) * (rt.max_fwd + rt.max_bwd)
         return rr if round_exchange_padded_rows(rr) <= 0.9 * a2a else rt
 
+    def packed_role(name, i, blocks):
+        m = build_role(split_rows(blocks))
+        _vlog(f"level {i}: role {name} packed ({type(m).__name__})")
+        return m
+
     levels = []
     while True:
         raw = next(raw_levels, None)
         if raw is None:
             break
+        i = len(levels)
         levels.append(
             LevelPlan(
-                head=build_role(split_rows(raw.head)),
-                diag=build_role(split_rows(raw.diag)),
-                col=build_role(split_rows(raw.col)),
+                head=packed_role("head", i, raw.head),
+                diag=packed_role("diag", i, raw.diag),
+                col=packed_role("col", i, raw.col),
                 band_lo=(
-                    build_role(split_rows(raw.band_lo))
+                    packed_role("band_lo", i, raw.band_lo)
                     if raw.band_lo is not None
                     else None
                 ),
                 band_hi=(
-                    build_role(split_rows(raw.band_hi))
+                    packed_role("band_hi", i, raw.band_hi)
                     if raw.band_hi is not None
                     else None
                 ),
@@ -559,6 +591,7 @@ def compile_plan(
                 n_active_blocks=raw.n_active_blocks,
             )
         )
+        _vlog(f"level {i}: route picked, level packed")
         # Drop this level's raw CSR blocks BEFORE extracting the next level
         # (a for-loop would keep them alive through the next next()).
         del raw
