@@ -476,8 +476,16 @@ def stack_ells_from_csr(
         counts = [np.maximum(c, 1 * (c0 > 0)) for c, c0 in zip(counts, per_block)]
 
     total_extras = sum(int(s_.sum()) for s_ in per_block)
-    mats = [
-        ell_from_csr(
+    # Build ONE leaf at a time and copy it into preallocated stacked arrays
+    # (never the whole list of padded leaves + a np.stack copy at once):
+    # at billion-nnz scale the leaves of one role total tens of GB, and the
+    # build-all-then-stack peak of 2x the stacked size was the allocation
+    # that pushed the q=46 full-plan compile past 125 GB (NOTES round 5).
+    q = len(blocks)
+    idx = val = combines = m0 = None
+    n_rows = n_cols = 0
+    for j, b in enumerate(blocks):
+        m = ell_from_csr(
             b,
             slots_per_row=R,
             dtype=dtype,
@@ -486,17 +494,26 @@ def stack_ells_from_csr(
             stage_pads=stage_pads,
             trivial_combine=(True if total_extras == 0 else False),
         )
-        for b in blocks
-    ]
-    m0 = mats[0]
+        if idx is None:
+            m0 = m
+            idx = np.empty((q,) + m.idx.shape, m.idx.dtype)
+            val = np.empty((q,) + m.val.shape, m.val.dtype)
+            combines = [
+                np.empty((q,) + c.shape, c.dtype) for c in m.combine
+            ]
+        idx[j] = m.idx
+        val[j] = m.val
+        for s, c in enumerate(m.combine):
+            combines[s][j] = c
+        n_rows = max(n_rows, m.n_rows)
+        n_cols = max(n_cols, m.n_cols)
+        del m
     return EllMat(
-        idx=np.stack([m.idx for m in mats]),
-        val=np.stack([m.val for m in mats]),
-        combine=tuple(
-            np.stack([m.combine[s] for m in mats]) for s in range(len(m0.combine))
-        ),
-        n_rows=max(m.n_rows for m in mats),
-        n_cols=max(m.n_cols for m in mats),
+        idx=idx,
+        val=val,
+        combine=tuple(combines),
+        n_rows=n_rows,
+        n_cols=n_cols,
         stage_inputs=m0.stage_inputs,
     )
 
